@@ -1,0 +1,125 @@
+"""Test-table loaders + deterministic synthetic domain columns.
+
+The driver provides TPC-H-ish parquet tables (TESTDATA.md). The
+SkySafe domain queries derive flight/weather columns from them with
+exact integer/IEEE arithmetic so Spark and DuckDB compute identical
+values (see workload/__init__ docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) parquet, which Spark rejects unless
+        # surfaced as a nanos-since-epoch long; set the conf here too
+        # so entry points also work on caller-provided sessions.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Truncate to micros — the same truncation DuckDB applies on
+        # CAST(ts AS TIMESTAMP).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Oracle-side twin of the events normalization in load().
+EVENTS_SQL = (
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props FROM events"
+)
+
+
+# The reference's 6 fixed French weather stations
+# (/root/reference/src/extract_weather.py:42-49), with deterministic
+# synthetic current-weather values chosen to straddle every risk
+# threshold (FIXTURES.md §2).
+STATIONS = [
+    # id, lat, lon, weather_code, gusts, precip, visibility, cloud
+    (1, 48.709632, 2.208563, 95, 85.0, 6.0, 800.0, 90),   # Paris CDG: storm
+    (2, 43.629421, 1.367789, 61, 55.0, 2.0, 2500.0, 60),  # Toulouse
+    (3, 45.726009, 5.090928, 0, 20.0, 0.0, 10000.0, 10),  # Lyon
+    (4, 43.434242, 5.212784, 3, 30.0, 0.0, 9000.0, 40),   # Marseille
+    (5, 47.460152, -0.529704, 80, 70.0, 4.5, 3500.0, 85), # Nantes
+    (6, 50.561237, 3.086957, 45, 10.0, 0.5, 900.0, 55),   # Lille
+]
+
+STATIONS_SCHEMA = (
+    "station_id INT, s_lat DOUBLE, s_lon DOUBLE, weather_code INT, "
+    "wind_gusts_10m DOUBLE, precipitation DOUBLE, visibility DOUBLE, "
+    "cloud_cover INT"
+)
+
+STATIONS_SQL_VALUES = ", ".join(
+    f"({i}, {la!r}, {lo!r}, {wc}, {g!r}, {p!r}, {v!r}, {cc})"
+    for (i, la, lo, wc, g, p, v, cc) in STATIONS
+)
+
+STATIONS_CTE = (
+    "stations(station_id, s_lat, s_lon, weather_code, wind_gusts_10m, "
+    "precipitation, visibility, cloud_cover) AS (VALUES "
+    + STATIONS_SQL_VALUES
+    + ")"
+)
+
+
+def stations_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(STATIONS, STATIONS_SCHEMA)
+
+
+def synthetic_flights(events: DataFrame) -> DataFrame:
+    """Derive a deterministic 'flights snapshot' from the events table.
+
+    Positions land on a lattice inside the France bounding box
+    [41.3, 51.1] x [-5.1, 9.6] (reference
+    src/serverless_function_call.py:10); kinematics straddle the
+    phase-rule and risk thresholds. Integer modulo + one IEEE
+    division/addition each → bit-identical in Spark and DuckDB.
+    """
+    e = F.col("event_id")
+    return events.select(
+        e.alias("flight_id"),
+        (F.lit(41.3) + (e % 981) / F.lit(100.0)).alias("lat"),
+        (F.lit(-5.1) + ((e * 7) % 1471) / F.lit(100.0)).alias("lon"),
+        ((e * 13) % 13000).cast("double").alias("baro_altitude"),
+        (e % 10 == 0).alias("on_ground"),
+        F.col("value").alias("velocity"),
+        ((e % 41) - 20).cast("double").alias("vertical_rate"),
+    )
+
+
+SYNTHETIC_FLIGHTS_SQL = """
+SELECT event_id AS flight_id,
+       41.3 + (event_id % 981) / 100.0 AS lat,
+       -5.1 + ((event_id * 7) % 1471) / 100.0 AS lon,
+       CAST((event_id * 13) % 13000 AS DOUBLE) AS baro_altitude,
+       (event_id % 10 = 0) AS on_ground,
+       value AS velocity,
+       CAST((event_id % 41) - 20 AS DOUBLE) AS vertical_rate
+FROM events
+"""
+
+HAVERSINE_SQL = (
+    "2.0 * 6371.0 * atan2(sqrt({a}), sqrt(1.0 - ({a})))".format(
+        a=(
+            "sin(radians(s_lat - lat) / 2) * sin(radians(s_lat - lat) / 2)"
+            " + cos(radians(lat)) * cos(radians(s_lat))"
+            " * sin(radians(s_lon - lon) / 2) * sin(radians(s_lon - lon) / 2)"
+        )
+    )
+)

@@ -1,0 +1,139 @@
+"""Golden-value tests for the native-expression function library,
+mirroring the reference's spec tests (SURVEY.md §5):
+haversine goldens (reference tests/test_haversine.py) and the risk
+additive terms / category boundaries (tests/test_risk_score.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.functions.geo import haversine_km
+from skysafe_datalake_spark.functions.phase import flight_phase_id, flight_phase_rules
+from skysafe_datalake_spark.functions.risk import risk_category, risk_score
+
+PARIS = (48.8566, 2.3522)
+LYON = (45.7640, 4.8357)
+TOULOUSE = (43.6047, 1.4442)
+
+
+def _distance(spark, p1, p2) -> float:
+    df = spark.createDataFrame(
+        [(p1[0], p1[1], p2[0], p2[1])], "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    return df.select(
+        haversine_km("lat1", "lon1", "lat2", "lon2").alias("d")
+    ).first()["d"]
+
+
+def test_haversine_same_point_zero(spark):
+    assert _distance(spark, PARIS, PARIS) == pytest.approx(0.0, abs=0.01)
+
+
+def test_haversine_paris_lyon(spark):
+    assert 380 < _distance(spark, PARIS, LYON) < 410
+
+
+def test_haversine_paris_toulouse(spark):
+    assert 575 < _distance(spark, PARIS, TOULOUSE) < 605
+
+
+def test_haversine_symmetry(spark):
+    d1 = _distance(spark, PARIS, LYON)
+    d2 = _distance(spark, LYON, PARIS)
+    assert d1 == pytest.approx(d2, rel=1e-6)
+    assert d1 > 0
+
+
+# Risk: defaults give score 0 (reference tests/test_risk_score.py:9-17)
+_DEFAULTS = dict(
+    w_weather_code=0,
+    w_wind_gusts_10m=0.0,
+    w_precipitation=0.0,
+    w_visibility=10000.0,
+    w_cloud_cover=0,
+    on_ground=False,
+    baro_altitude=10000.0,
+)
+
+
+def _score(spark, **overrides) -> int:
+    row = {**_DEFAULTS, **overrides}
+    df = spark.createDataFrame(
+        [tuple(row.values())],
+        "w_weather_code int, w_wind_gusts_10m double, w_precipitation double, "
+        "w_visibility double, w_cloud_cover int, on_ground boolean, baro_altitude double",
+    )
+    expr = risk_score(
+        F.col("w_weather_code"),
+        F.col("w_wind_gusts_10m"),
+        F.col("w_precipitation"),
+        F.col("w_visibility"),
+        F.col("w_cloud_cover"),
+        F.col("on_ground"),
+        F.col("baro_altitude"),
+    )
+    return df.select(expr.cast("int").alias("s")).first()["s"]
+
+
+@pytest.mark.parametrize(
+    "override,expected",
+    [
+        (dict(), 0),
+        (dict(w_weather_code=95), 40),
+        (dict(w_wind_gusts_10m=81.0), 25),
+        (dict(w_wind_gusts_10m=51.0), 10),
+        (dict(w_precipitation=6.0), 20),
+        (dict(w_precipitation=0.5), 10),
+        (dict(w_visibility=900.0), 20),
+        (dict(w_visibility=2500.0), 10),
+        (dict(w_cloud_cover=81), 10),
+        (dict(w_cloud_cover=51), 5),
+        (dict(baro_altitude=200.0), 15),
+        (dict(baro_altitude=200.0, on_ground=True), 0),
+    ],
+)
+def test_risk_terms(spark, override, expected):
+    assert _score(spark, **override) == expected
+
+
+def test_risk_worst_case_uncapped_130(spark):
+    # reference tests/test_risk_score.py:94-106 — no clamp at 100
+    assert (
+        _score(
+            spark,
+            w_weather_code=99,
+            w_wind_gusts_10m=100.0,
+            w_precipitation=10.0,
+            w_visibility=500.0,
+            w_cloud_cover=95,
+            baro_altitude=100.0,
+        )
+        == 130
+    )
+
+
+@pytest.mark.parametrize("score,cat", [(0, "LOW"), (29, "LOW"), (30, "MEDIUM"), (59, "MEDIUM"), (60, "HIGH"), (130, "HIGH")])
+def test_risk_category_boundaries(spark, score, cat):
+    df = spark.createDataFrame([(score,)], "s int")
+    assert df.select(risk_category(F.col("s")).alias("c")).first()["c"] == cat
+
+
+@pytest.mark.parametrize(
+    "alt,vel,vr,phase,pid",
+    [
+        (100.0, 30.0, 0.0, "Takeoff / Landing", 0),
+        (11000.0, 250.0, 0.5, "Cruise", 2),
+        (5000.0, 180.0, 10.0, "Climb / Descent", 1),
+        (100.0, 120.0, 5.0, "Climb / Descent", 1),  # low but fast
+    ],
+)
+def test_phase_rules(spark, alt, vel, vr, phase, pid):
+    df = spark.createDataFrame([(alt, vel, vr)], "a double, v double, r double")
+    out = df.select(
+        flight_phase_rules(F.col("a"), F.col("v"), F.col("r")).alias("p")
+    ).withColumn("pid", flight_phase_id(F.col("p")))
+    row = out.first()
+    assert row["p"] == phase
+    assert row["pid"] == pid
