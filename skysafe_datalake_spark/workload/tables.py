@@ -38,6 +38,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def pround(col: F.Column, n: int) -> F.Column:
+    """Portable round: floor(x·10ⁿ + 0.5)/10ⁿ in pure IEEE double ops,
+    bit-identical across engines. Spark's round() rounds the exact
+    BigDecimal of the double (HALF_UP) while DuckDB rounds the double
+    product — they disagree when x·10ⁿ lands exactly on .5, so neither
+    built-in is usable for cross-engine value-hash parity."""
+    scale = float(10**n)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def pround_sql(expr: str, n: int) -> str:
+    scale = float(10**n)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
 # Oracle-side twin of the events normalization in load().
 EVENTS_SQL = (
     "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
