@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+variant (random-hyperplane signatures) as the 100 TB scale path.
+Vector math uses higher-order functions (zip_with/aggregate) — JVM
+expressions, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential left-to-right sum
+    — deterministic and oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+    k: int = 5,
+    order_round: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query
+    set against the corpus, rank per query.
+
+    At scale this is the right baseline topology: the corpus stays
+    partitioned in place, queries broadcast, and the window's shuffle
+    carries only |queries|·|corpus| scored rows — avoid by using
+    k=1 argmin or pre-filtering with :func:`lsh_bucket_candidates`.
+    """
+    from skysafe_datalake_spark.workload.tables import pround
+
+    q = queries.select(F.col(query_id), F.col(vec).alias("_qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("_cv"))
+    w = Window.partitionBy(query_id).orderBy(
+        pround(F.col("cosine_raw"), order_round).desc(), F.col(corpus_id)
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cosine_raw", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= k)
+        .select(query_id, corpus_id, "cosine_raw", F.col("_rnk").alias("rank"))
+    )
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(vec · plane_i).
+    ``planes`` are deterministic pseudo-random unit vectors generated
+    driver-side (seeded) and inlined as literals — tiny, broadcast-free.
+    """
+    bits = []
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_bucket_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """ANN scale path: equi-join query/corpus on the hyperplane
+    signature bucket, then score only within-bucket candidates.
+    Reduces comparisons from |Q|·|C| to collisions; recall is tuned
+    by the number of planes (fewer planes → bigger buckets)."""
+    qs = queries.select(
+        F.col(query_id), F.col(vec).alias("_qv"),
+        hyperplane_signature(F.col(vec), planes).alias("bucket"),
+    )
+    cs = corpus.select(
+        F.col(corpus_id), F.col(vec).alias("_cv"),
+        hyperplane_signature(F.col(vec), planes).alias("bucket"),
+    )
+    return (
+        cs.join(F.broadcast(qs), ["bucket"])
+        .withColumn("cosine_raw", cosine(F.col("_qv"), F.col("_cv")))
+        .select(query_id, corpus_id, "bucket", "cosine_raw")
+    )

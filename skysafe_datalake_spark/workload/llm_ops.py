@@ -1,0 +1,409 @@
+"""Training-data-pipeline operators (BASELINE.json north star):
+deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+embedding cosine), similarity search, text analysis, multimodal
+columns — each as an oracle-checked query over the driver's
+documents/embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.functions import text as T
+from skysafe_datalake_spark.operators import dedup as D
+from skysafe_datalake_spark.operators import multimodal as MM
+from skysafe_datalake_spark.operators.similarity import cosine, cosine_topk
+from skysafe_datalake_spark.workload.registry import register
+from skysafe_datalake_spark.workload.tables import load, pround
+
+# ───────────────────────── dedup family ──────────────────────────
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents
+GROUP BY text
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (deterministic canonical row —
+    not dropDuplicates, which keeps an arbitrary one)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, F.col("text"), "doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 document fingerprint (formatting-insensitive
+    exact-dedup key)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+_N_HASHES = 8
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS sh
+  FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)
+  WHERE length(text) >= 5
+)
+"""
+
+_SIG_CTE = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(_N_HASHES)
+    )
+    + " FROM sh GROUP BY doc_id)"
+)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE}
+SELECT * FROM sig
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-derived, engine-portable) over distinct
+    5-char shingles; map-side combine keeps the shuffle at
+    O(docs x n_hashes)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_signatures(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_k=5
+    )
+
+
+_BANDS_SQL = ", ".join(
+    f"concat('{b}|', mh{2 * b}, '|', mh{2 * b + 1})" for b in range(_N_HASHES // 2)
+)
+_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.*, band_key
+  FROM sig, unnest([{_BANDS_SQL}]) AS u(band_key)
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       {_MATCH_SQL} AS n_matching
+FROM banded a JOIN banded b USING (band_key)
+WHERE a.doc_id < b.doc_id AND {_MATCH_SQL.replace('a.mh', 'a.mh').replace('b.mh', 'b.mh')} >= 4
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates: banding equi-join (4 bands x
+    2 rows), kept when >= half the signature components match
+    (estimated Jaccard >= 0.5). Never an all-pairs comparison."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=_N_HASHES)
+    return D.minhash_lsh_pairs(
+        sigs, "doc_id", n_hashes=_N_HASHES, band_size=2, min_matching=4
+    )
+
+
+@register(
+    "dedup_simhash",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i AS bit, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM th, unnest(generate_series(0, 15)) AS t(i)
+),
+sums AS (SELECT doc_id, bit, SUM(c) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash fingerprints (near-dups
+    differ in few bits)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text", n_bits=16)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),
+sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS sh
+  FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)
+  WHERE length(text) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (>= 0.5) on a capped subset
+    (doc_id < 500 — full sf0.01 gate data; bounded at larger SFs,
+    where the scale path is MinHash-LSH prefiltering first)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=5, threshold=0.5)
+
+
+# ───────────────────────── similarity search ─────────────────────
+
+_COS_SQL = (
+    "list_dot_product(qv, cv)"
+    " / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@register(
+    "similarity_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+  SELECT q_id, c_id, {_COS_SQL} AS cosine_raw FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT q_id, c_id, cosine_raw,
+         CAST(row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY floor(cosine_raw * 1000000.0 + 0.5) / 1000000.0 DESC, c_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id,
+       floor(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine,
+       rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: 10 query vectors broadcast against
+    the corpus; exact ANN baseline (zip_with/aggregate dot products,
+    JVM-side)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    out = cosine_topk(
+        queries, corpus, query_id="q_id", corpus_id="c_id", vec="embedding", k=5
+    )
+    return out.select(
+        "q_id", "c_id", pround(F.col("cosine_raw"), 4).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "embedding_neardup",
+    f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       floor((list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))))
+             * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) > 0.3
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine > 0.3 — tuned to the
+    synthetic embeddings' similarity range). All-pairs here
+    (exact); the 100 TB path buckets with random-hyperplane LSH first
+    (operators.similarity.lsh_bucket_candidates)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_av"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_bv"))
+    sim = cosine(F.col("_av"), F.col("_bv"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine_raw", sim)
+        .filter(F.col("cosine_raw") > 0.3)
+        .select("a_id", "b_id", pround(F.col("cosine_raw"), 4).alias("cosine"))
+    )
+
+
+# ───────────────────────── text analysis ─────────────────────────
+
+
+@register(
+    "text_quality",
+    r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+       CAST((CASE WHEN n_chars >= 200 THEN 40 WHEN n_chars >= 50 THEN 25 ELSE 5 END)
+          + (CASE WHEN n_stop * 100 >= n_words * 5 THEN 30 WHEN n_stop > 0 THEN 15 ELSE 0 END)
+          + (CASE WHEN n_punct * 100 > n_chars * 10 THEN 0 ELSE 30 END) AS INTEGER)
+         AS quality_score
+FROM m
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/stopword heuristics in
+    pure integer arithmetic (no UDFs, engine-portable)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        T.word_count(t).alias("n_words"),
+        T.punct_count(t).alias("n_punct"),
+        T.stopword_count(t, "en").alias("n_stop"),
+        T.quality_score(t).alias("quality_score"),
+    )
+
+
+_LANG_HITS_SQL = {
+    lang: (
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(sw)
+        + ")\\b'))"
+    )
+    for lang, sw in T.LANG_STOPWORDS.items()
+}
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {lang}_hits > 0 AND {lang}_hits = best THEN '{lang}'"
+        for lang in T.LANG_STOPWORDS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "lang_id",
+    f"""
+WITH h AS (
+  SELECT doc_id,
+         {", ".join(f"{sql} AS {lang}_hits" for lang, sql in _LANG_HITS_SQL.items())}
+  FROM documents
+),
+b AS (
+  SELECT *, greatest({", ".join(f"{lang}_hits" for lang in T.LANG_STOPWORDS)}) AS best
+  FROM h
+)
+SELECT doc_id, {_LANG_CASE} AS lang_pred
+FROM b
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID (n-gram heuristic): argmax of stopword
+    hits per language, fixed tie order."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "token_count",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens + BPE-ish subword units."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0)).alias("n_ws_tokens"),
+        T.bpe_token_count(t).alias("n_bpe_tokens"),
+    )
+
+
+# ───────────────────────── multimodal columns ────────────────────
+
+
+@register(
+    "multimodal_manifest",
+    """
+SELECT doc_id AS item_id,
+       octet_length(encode(text)) AS n_bytes,
+       lower(hex(encode(text)))[1:8] AS header_hex
+FROM documents
+""",
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column manifest: payload byte length + magic-bytes
+    header, all JVM expressions — the metadata surface a media lake
+    queries without decoding payloads. (documents.text stands in as
+    the opaque payload via utf-8 encode.)"""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.expr("substring(encode(text, 'utf-8'), 1, 4)"))).alias(
+            "header_hex"
+        ),
+    )
+
+
+@register("multimodal_byte_features")  # no SQL oracle: mapInPandas stage
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (mapInPandas) feature extraction over binary
+    payloads — the real multimodal plumbing with the decode kernel
+    stubbed to deterministic byte statistics (codecs not in this
+    container; see operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    with_media = docs.select(
+        F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "utf-8").alias("media")
+    )
+    return MM.extract_media_features(with_media, decode_stub=True)

@@ -27,3 +27,4 @@ def register(name: str, oracle: str | None = None):
 # Query modules self-register on import (order fixes registry order).
 from skysafe_datalake_spark.workload import domain  # noqa: E402,F401
 from skysafe_datalake_spark.workload import relational  # noqa: E402,F401
+from skysafe_datalake_spark.workload import llm_ops  # noqa: E402,F401
