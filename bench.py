@@ -23,6 +23,21 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "nn_station_join",
     "skysafe_enriched",
+    "pricing_summary",
+    "global_stats",
+    "window_topk_per_group",
+    "topk_global",
+    "join_multiway",
+    "join_left_outer",
+    "anomaly_threshold",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "embedding_neardup",
+    "text_quality",
+    "streaming_windowed_counts",
+    "skysafe_ml_pipeline",
 ]
 
 

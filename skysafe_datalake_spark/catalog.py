@@ -1,0 +1,88 @@
+"""Medallion lake catalog: layer/source/entity → partitioned Parquet.
+
+Replaces the reference's path arithmetic + S3 ListObjectsV2 scanning
+(``/root/reference/src/helpers.py:90-154``:
+``<layer>/<source>/<entity>/date=YYYY-MM-DD/hour=HH``) with
+partition COLUMNS, so Catalyst does static partition pruning from a
+``WHERE date = ... AND hour = ...`` predicate instead of application
+code enumerating object-store prefixes. Layers follow the reference's
+medallion layout (``README.md:57-75``): raw (JSON) → formatted /
+enriched / usage (Parquet).
+
+Scale design: dynamic partition overwrite (only touched partitions
+rewritten — the reference's ``mode("overwrite")`` nukes the whole
+entity dir); latest-partition discovery is a partition-listing-only
+query (no data files read).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LAYERS = ("raw", "formatted", "enriched", "usage")
+
+
+class LakeCatalog:
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def path(self, layer: str, source: str, entity: str) -> str:
+        if layer not in LAYERS:
+            raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+        return f"{self.root}/{layer}/{source}/{entity}"
+
+    @staticmethod
+    def partition_values(ts: datetime | None = None) -> tuple[str, str]:
+        ts = ts or datetime.now(timezone.utc)
+        return ts.strftime("%Y-%m-%d"), ts.strftime("%H")
+
+    def write(
+        self,
+        df: DataFrame,
+        layer: str,
+        source: str,
+        entity: str,
+        *,
+        ts: datetime | None = None,
+        fmt: str = "parquet",
+    ) -> str:
+        """Write one batch into its date/hour partition (dynamic
+        overwrite: re-running a minute replaces only that partition —
+        idempotent retries, matching the reference's per-partition
+        overwrite semantics without its full-table clobber)."""
+        date, hour = self.partition_values(ts)
+        target = self.path(layer, source, entity)
+        (
+            df.withColumn("date", F.lit(date))
+            .withColumn("hour", F.lit(hour))
+            .write.format(fmt)
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date", "hour")
+            .save(target)
+        )
+        return target
+
+    def read(self, spark: SparkSession, layer: str, source: str, entity: str, *, fmt: str = "parquet") -> DataFrame:
+        return spark.read.format(fmt).load(self.path(layer, source, entity))
+
+    def read_latest(
+        self, spark: SparkSession, layer: str, source: str, entity: str, *, fmt: str = "parquet"
+    ) -> DataFrame:
+        """Latest date/hour partition only (reference S7,
+        ``src/helpers.py:126-154``). The max() runs on partition
+        columns — satisfied from partition listing, no data read —
+        and the literal equality predicates prune the scan to one
+        directory."""
+        df = self.read(spark, layer, source, entity, fmt=fmt)
+        latest = df.select("date", "hour").distinct().orderBy(
+            F.col("date").desc(), F.col("hour").desc()
+        ).first()
+        if latest is None:
+            return df
+        return df.where(
+            (F.col("date") == latest["date"]) & (F.col("hour") == latest["hour"])
+        )

