@@ -242,6 +242,98 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_planes(n_planes: int = 5, dim: int = 64, seed: int = 20260813) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes, components rounded to
+    6 decimals so the literals parse to bit-identical doubles in both
+    Spark and DuckDB."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def _ann_bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, CAST([{lits}] AS DOUBLE[])) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+_ANN_PLANES = _ann_planes()
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS c_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id >= 10
+),
+qb AS (SELECT q_id, qv, {_ann_bucket_sql('qv', _ANN_PLANES)} AS bucket FROM q),
+cb AS (SELECT c_id, cv, {_ann_bucket_sql('cv', _ANN_PLANES)} AS bucket FROM c),
+scored AS (
+  SELECT q_id, c_id, qb.bucket AS bucket, {_COS_SQL} AS cosine_raw
+  FROM qb JOIN cb USING (bucket)
+),
+ranked AS (
+  SELECT q_id, c_id, bucket, cosine_raw,
+         CAST(row_number() OVER (
+           PARTITION BY q_id
+           ORDER BY floor(cosine_raw * 1000000.0 + 0.5) / 1000000.0 DESC, c_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, bucket,
+       floor(cosine_raw * 10000.0 + 0.5) / 10000.0 AS cosine,
+       rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH bucketing — the
+    100 TB scale path for similarity search: comparisons drop from
+    |Q|·|C| to within-bucket collisions (here 5 planes → 32 buckets,
+    so ~1/32 of the brute-force work; recall tunes with plane count
+    and multi-probe). The bucket key is an equi-join column, so at
+    scale this is a plain shuffled/broadcast hash join instead of a
+    cross join."""
+    from pyspark.sql import Window
+
+    from skysafe_datalake_spark.operators.similarity import lsh_bucket_candidates
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("c_id"), "embedding"
+    )
+    cand = lsh_bucket_candidates(
+        queries, corpus, _ANN_PLANES, query_id="q_id", corpus_id="c_id", vec="embedding"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        pround(F.col("cosine_raw"), 6).desc(), F.col("c_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id", "c_id", "bucket",
+            pround(F.col("cosine_raw"), 4).alias("cosine"), "rank",
+        )
+    )
+
+
 @register(
     "embedding_neardup",
     f"""

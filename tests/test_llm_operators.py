@@ -108,6 +108,27 @@ def test_lsh_buckets_recall_identical_vectors(spark):
     assert 11 not in ids  # opposite side of plane 1
 
 
+def test_ann_lsh_never_beats_exact_and_agrees_in_bucket(spark):
+    """ann_lsh_topk is brute-force restricted to bucket collisions:
+    its best hit per query can never score above the exact top-1, and
+    any (q,c) pair both return must carry the same cosine."""
+    from skysafe_datalake_spark.workload.llm_ops import ann_lsh_topk, similarity_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["q_id"], r["c_id"]): r["cosine"] for r in similarity_topk(spark, sf).collect()
+    }
+    approx = ann_lsh_topk(spark, sf).collect()
+    assert approx, "LSH buckets produced no candidates at all"
+    best_exact = {}
+    for (q, _c), cos in exact.items():
+        best_exact[q] = max(best_exact.get(q, -2.0), cos)
+    for r in approx:
+        assert r["cosine"] <= best_exact[r["q_id"]] + 1e-9
+        if (r["q_id"], r["c_id"]) in exact:
+            assert abs(r["cosine"] - exact[(r["q_id"], r["c_id"])]) < 1e-9
+
+
 def test_multimodal_meta_and_features(spark):
     df = spark.createDataFrame(
         [(1, b"\x89PNG\r\n" + b"x" * 100), (2, b"")],
