@@ -28,3 +28,4 @@ def register(name: str, oracle: str | None = None):
 from skysafe_datalake_spark.workload import domain  # noqa: E402,F401
 from skysafe_datalake_spark.workload import relational  # noqa: E402,F401
 from skysafe_datalake_spark.workload import llm_ops  # noqa: E402,F401
+from skysafe_datalake_spark.workload import temporal  # noqa: E402,F401

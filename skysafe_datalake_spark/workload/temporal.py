@@ -1,0 +1,181 @@
+"""Temporal / reshaping queries: as-of join, sessionization, pivot,
+exact percentiles — the time-series surface beyond the reference
+(SURVEY.md §2.3 notes the reference has no temporal joins at all).
+Oracles: DuckDB ASOF JOIN for the as-of query; plain window/CASE SQL
+for the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.operators.temporal import asof_join, sessionize
+from skysafe_datalake_spark.workload.registry import register
+from skysafe_datalake_spark.workload.relational import dsum, dsum_sql
+from skysafe_datalake_spark.workload.tables import EVENTS_SQL, load, pround, pround_sql
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "asof_join_attrib",
+    f"""
+WITH e AS ({EVENTS_SQL}),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM e WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, c.click_id,
+       epoch_us(p.ts) - epoch_us(c.click_ts) AS us_since_click
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+)
+def asof_join_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: each purchase ← the user's most recent
+    click at-or-before it (backward as-of, left-outer). Implemented as
+    the union + single-window forward-fill plan (operators/temporal.py)
+    — shuffle volume |purchases| + |clicks|, never the range-join
+    blowup; the oracle is DuckDB's native ASOF JOIN, a genuinely
+    independent implementation of the same semantics."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        left_on="ts",
+        right_on="click_ts",
+        payload=["click_id", "click_ts"],
+        tie_breaker="click_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "us_since_click"
+        ),
+    )
+
+
+@register(
+    "sessionize_events",
+    f"""
+WITH e AS ({EVENTS_SQL}),
+g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts, value,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       {dsum_sql('value')} AS sum_value
+FROM s
+GROUP BY user_id, session_idx
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session
+    stats — the batch twin of Structured Streaming session_window.
+    One shuffle for the per-user window; the session aggregation keys
+    (user_id, session_idx) are a refinement of the window partitioning."""
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, by=["user_id"], ts="ts", gap_seconds=1800, tie_breakers=["event_id"])
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@register(
+    "pivot_wide",
+    f"""
+WITH e AS ({EVENTS_SQL})
+SELECT user_id,
+       {', '.join(dsum_sql(f"CASE WHEN event_type = '{t}' THEN value END") + f" AS {t}_sum" for t in EVENT_TYPES)}
+FROM e
+GROUP BY user_id
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user value totals by event type.
+    Explicit pivot values keep it a single-pass hash aggregation (no
+    distinct-values pre-query); conditional-aggregation oracle."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(dsum(F.col("value")))
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"{t}_sum") for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "percentile_stats",
+    f"""
+WITH e AS ({EVENTS_SQL}),
+q AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         quantile_cont(value, [0.25, 0.5, 0.9]) AS qs,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+       {pround_sql('qs[1]', 6)} AS p25,
+       {pround_sql('qs[2]', 6)} AS p50,
+       {pround_sql('qs[3]', 6)} AS p90,
+       min_value, max_value
+FROM q
+""",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, both linear interpolation; outputs
+    quantized to 6 decimals since the engines' interpolation FP
+    expression trees differ by ~1 ulp)."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.9D))").alias("qs"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        pround(F.col("qs")[0], 6).alias("p25"),
+        pround(F.col("qs")[1], 6).alias("p50"),
+        pround(F.col("qs")[2], 6).alias("p90"),
+        "min_value",
+        "max_value",
+    )

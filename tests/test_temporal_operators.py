@@ -1,0 +1,72 @@
+"""Golden-value tests for the temporal operators (as-of join,
+sessionization) on tiny DataFrames — the SURVEY.md §5 per-operator
+test pattern."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.operators.temporal import asof_join, sessionize
+
+
+def _ts_df(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in [(f.name, f.dataType.simpleString()) for f in df.schema.fields]:
+        if c.endswith("_s") and t == "string":
+            df = df.withColumn(c[:-2], F.to_timestamp(c)).drop(c)
+    return df
+
+
+def test_asof_join_backward_inclusive_and_outer(spark):
+    left = _ts_df(
+        spark,
+        [(1, 10, "2024-01-01 00:10:00"), (1, 11, "2024-01-01 00:00:00"),
+         (2, 12, "2024-01-01 00:30:00")],
+        "k long, lid long, ts_s string",
+    )
+    right = _ts_df(
+        spark,
+        [(1, 100, "2024-01-01 00:05:00"), (1, 101, "2024-01-01 00:10:00"),
+         (3, 102, "2024-01-01 00:00:00")],
+        "k long, rid long, rts_s string",
+    )
+    out = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, by=["k"], left_on="ts", right_on="rts",
+            payload=["rid", "rts"], tie_breaker="rid",
+        ).collect()
+    }
+    assert out[10] == 101  # equal timestamp is visible (<=)
+    assert out[11] is None  # no prior right row → left-outer NULL
+    assert out[12] is None  # key 2 has no right rows at all
+
+
+def test_asof_join_tie_breaker_picks_greatest(spark):
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00")], "k long, lid long, ts_s string")
+    right = _ts_df(
+        spark,
+        [(1, 100, "2024-01-01 00:05:00"), (1, 200, "2024-01-01 00:05:00")],
+        "k long, rid long, rts_s string",
+    )
+    out = asof_join(
+        left, right, by=["k"], left_on="ts", right_on="rts",
+        payload=["rid"], tie_breaker="rid",
+    ).collect()
+    assert out[0]["rid"] == 200
+
+
+def test_sessionize_splits_on_gap(spark):
+    df = _ts_df(
+        spark,
+        [(1, 1, "2024-01-01 00:00:00"), (1, 2, "2024-01-01 00:20:00"),
+         (1, 3, "2024-01-01 01:10:00"),  # 50 min gap → new session
+         (1, 4, "2024-01-01 01:40:00"),  # exactly 30 min → SAME session
+         (2, 5, "2024-01-01 00:00:00")],
+        "u long, eid long, ts_s string",
+    )
+    out = {
+        r["eid"]: r["session_idx"]
+        for r in sessionize(df, by=["u"], gap_seconds=1800, tie_breakers=["eid"]).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
