@@ -34,7 +34,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk",
+    "ann_lsh_topk",
     "embedding_neardup",
+    "asof_join_attrib",
+    "sessionize_events",
     "text_quality",
     "streaming_windowed_counts",
     "skysafe_ml_pipeline",
