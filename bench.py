@@ -41,6 +41,11 @@ HEADLINE = [
     "text_quality",
     "streaming_windowed_counts",
     "skysafe_ml_pipeline",
+    "subquery_exists",
+    "grouping_cube",
+    "salted_skew_agg",
+    "window_moving_avg",
+    "ann_ivf_topk",
 ]
 
 
@@ -49,11 +54,21 @@ def main() -> None:
     from skysafe_datalake_spark.workload import QUERIES
 
     spark = get_spark(app_name="skysafe-bench", master=f"local[{CPUS}]")
-    # Warm the JVM/codegen path once so timings measure the engine,
-    # not session startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
-
     names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warm-up pass at the smallest SF: compiles every query's codegen
+    # stages, initializes the parquet reader / Hadoop FS / noop sink,
+    # and JITs the hot loops, so the timed pass below measures the
+    # engine's steady-state throughput rather than one-time JVM setup
+    # billed to whichever query runs first (first-run penalty is
+    # ~4s of codegen on the widest plans).
+    warm_sf = "/root/testdata/sf0.001"
+    warm_dir = warm_sf if os.path.isdir(warm_sf) else SF_DIR
+    for name in names:
+        QUERIES[name](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     for name in names:
         df = QUERIES[name](spark, SF_DIR)

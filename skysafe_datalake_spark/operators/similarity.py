@@ -147,6 +147,95 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec: str = "embedding",
+    nprobe: int = 1,
+    order_round: int = 6,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``nprobe``
+    nearest coarse centroids (by cosine, deterministic tie-break on
+    centroid id).
+
+    ``centroids`` is a tiny (cell_id, vec) table — broadcast, so
+    assignment is a map-side cross join + per-row window, no shuffle
+    of the corpus itself beyond the rank. At index-build time the
+    corpus uses nprobe=1 (each vector lives in exactly one inverted
+    list); at query time nprobe>1 trades extra cells scanned for
+    recall, exactly like FAISS's IVF nprobe knob.
+    """
+    from skysafe_datalake_spark.workload.tables import pround
+
+    c = centroids.select(F.col("cell_id"), F.col(vec).alias("_cell_v"))
+    w = Window.partitionBy(id_col).orderBy(
+        pround(F.col("_cell_cos"), order_round).desc(), F.col("cell_id")
+    )
+    return (
+        df.crossJoin(F.broadcast(c))
+        .withColumn("_cell_cos", cosine(F.col(vec), F.col("_cell_v")))
+        .withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("_cell_v", "_cell_cos")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    query_id: str = "q_id",
+    corpus_id: str = "c_id",
+    vec: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    order_round: int = 6,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize the corpus into inverted
+    lists (one cell per vector), probe each query's ``nprobe``
+    nearest cells, score exactly within probed cells only.
+
+    Comparisons drop from |Q|·|C| to |Q|·(nprobe/n_cells)·|C| on
+    average. The cell id is an equi-join key, so at 100 TB this is a
+    shuffled hash join on cell (corpus side can even be written
+    bucketed by cell_id, making the probe join shuffle-free); the
+    per-query candidate set then ranks inside one window partition.
+    """
+    from skysafe_datalake_spark.workload.tables import pround
+
+    cent_c = centroids.select("cell_id", F.col(vec).alias("_cv"))
+    cent_q = centroids.select("cell_id", F.col(vec).alias("_qv"))
+    inv = ivf_assign_cells(
+        corpus.select(F.col(corpus_id), F.col(vec).alias("_cv")),
+        cent_c,
+        id_col=corpus_id,
+        vec="_cv",
+        nprobe=1,
+        order_round=order_round,
+    ).select(corpus_id, "_cv", "cell_id")
+    probes = ivf_assign_cells(
+        queries.select(F.col(query_id), F.col(vec).alias("_qv")),
+        cent_q,
+        id_col=query_id,
+        vec="_qv",
+        nprobe=nprobe,
+        order_round=order_round,
+    ).select(query_id, "_qv", "cell_id")
+    w = Window.partitionBy(query_id).orderBy(
+        pround(F.col("cosine_raw"), order_round).desc(), F.col(corpus_id)
+    )
+    return (
+        inv.join(F.broadcast(probes), ["cell_id"])
+        .withColumn("cosine_raw", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cell_id", "cosine_raw", "rank")
+    )
+
+
 def lsh_bucket_candidates(
     queries: DataFrame,
     corpus: DataFrame,
