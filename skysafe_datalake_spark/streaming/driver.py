@@ -94,6 +94,113 @@ def run_flights_stream(
     return writer.start()
 
 
+SESSIONIZE_OUTPUT_SCHEMA = (
+    "user_id BIGINT, event_id BIGINT, ts TIMESTAMP, session_idx INT"
+)
+SESSIONIZE_STATE_SCHEMA = "last_us BIGINT, last_idx INT"
+
+
+def sessionize_stream(
+    events, *, gap_seconds: int = 1800
+):
+    """Custom stateful streaming operator: gap-based session
+    assignment via ``applyInPandasWithState`` — the streaming twin of
+    ``operators.temporal.sessionize`` (same output given the same
+    rows).
+
+    Per-key state is one (last event micros, last session index)
+    pair, so state size is O(|keys|) regardless of stream length.
+    Each micro-batch's rows for a key arrive as Arrow batches, are
+    sorted by (ts, event_id), and continue the session numbering from
+    state. Rows are emitted append-mode as they are processed;
+    grouping shuffles by user_id exactly like the batch window
+    partition. (Cross-batch late data is the caller's contract: pair
+    with a watermark upstream when feeding real streams.)
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assign(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_us, last_idx = state.get
+        else:
+            last_us, last_idx = None, 0
+        chunks = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            idxs = []
+            for t in us:
+                if last_us is None or (t - last_us) > gap_seconds * 1_000_000:
+                    last_idx += 1
+                last_us = int(t)
+                idxs.append(last_idx)
+            chunks.append(
+                pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "ts": pdf["ts"].to_numpy(),
+                        "session_idx": idxs,
+                    }
+                )
+            )
+        state.update((last_us, last_idx))
+        yield from chunks
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=SESSIONIZE_OUTPUT_SCHEMA,
+            stateStructType=SESSIONIZE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_dedup(events, *, id_col: str = "event_id", watermark: str = "2 hours"):
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keys
+    state by ``id_col`` and expires entries once the watermark passes
+    — bounded state, unlike a plain dropDuplicates on a stream which
+    grows forever. Batch-mode semantics degenerate to dropDuplicates
+    (same rows), which is what makes it testable."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+def session_window_agg(events, *, gap: str = "30 minutes"):
+    """Built-in session-window aggregation (F.session_window): one
+    row per (user, session) with start/end/count/value-sum. Works on
+    batch and streaming inputs with identical semantics; the oracle
+    twin derives the same sessions with lag + running-sum SQL
+    (workload.advanced.session_window_agg), proving the built-in
+    matches classic SQL sessionization."""
+    return (
+        events.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

@@ -252,6 +252,41 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_agg",
+    f"""
+WITH e AS ({EVENTS_SQL}),
+s AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM g GROUP BY user_id, sess
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window() aggregation, batch mode (identical
+    plan works on a stream — streaming.driver.session_window_agg).
+    The oracle derives the same sessions with lag + running-sum SQL,
+    proving Spark's native session windows match classic SQL
+    sessionization. One shuffle by user_id; session merge happens
+    inside the aggregation, no self-join."""
+    from skysafe_datalake_spark.streaming.driver import session_window_agg as swa
+
+    return swa(load(spark, sf_dir, "events"), gap="30 minutes")
+
+
 _IVF_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 
 

@@ -1,0 +1,157 @@
+"""Real Structured Streaming runs (file source → availableNow →
+memory sink) for the stateful operators: applyInPandasWithState
+sessionization (cross-batch state via checkpoint restart),
+dropDuplicatesWithinWatermark, and built-in session_window
+aggregation — each checked against its batch twin on the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _normalized_events(spark, tmp_path, n_files=1):
+    """events (ts normalized to micros) written as n_files parquet
+    files split on global ts median — per-user time order is
+    preserved across files, so file order == event-time order."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.workload.tables import load
+
+    e = load(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_in")
+    if n_files == 1:
+        e.coalesce(1).write.mode("overwrite").parquet(out)
+        return e, [out]
+    median = e.approxQuantile("event_id", [0.5], 0.0)[0]
+    parts = [
+        e.filter(F.col("event_id") <= median),
+        e.filter(F.col("event_id") > median),
+    ]
+    dirs = []
+    for i, p in enumerate(parts):
+        d = str(tmp_path / f"part{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(d)
+        dirs.append(d)
+    return e, dirs
+
+
+def _run_available_now(stream_df, name, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session assignment == batch sessionize
+    on identical input, including state carried across a checkpoint
+    restart (two files fed through two availableNow runs)."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.operators.temporal import sessionize
+    from skysafe_datalake_spark.streaming.driver import sessionize_stream
+
+    e, dirs = _normalized_events(spark, tmp_path, n_files=2)
+    stream_dir = str(tmp_path / "stream_in")
+    out_dir = str(tmp_path / "sess_out")
+    os.makedirs(stream_dir)
+    checkpoint = str(tmp_path / "ckpt")
+
+    def feed(src_dir, run):
+        """One availableNow run per file: the second run restarts from
+        the checkpoint, proving per-key state survives across
+        micro-batch boundaries AND query restarts. Memory sink cannot
+        recover a checkpoint, so output appends to parquet."""
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                os.link(
+                    os.path.join(src_dir, f),
+                    os.path.join(stream_dir, f"{run}_{f}"),
+                )
+        stream = spark.readStream.schema(e.schema).parquet(stream_dir)
+        q = (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    feed(dirs[0], 0)
+    feed(dirs[1], 1)
+
+    got = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in sessionize(
+            e, by=["user_id"], ts="ts", gap_seconds=1800, tie_breakers=["event_id"]
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on a stream carrying every event
+    twice emits each event_id exactly once."""
+    from skysafe_datalake_spark.streaming.driver import streaming_dedup
+
+    e, (d,) = _normalized_events(spark, tmp_path, n_files=1)
+    doubled_dir = str(tmp_path / "doubled")
+    e.unionByName(e).coalesce(1).write.mode("overwrite").parquet(doubled_dir)
+
+    stream = spark.readStream.schema(e.schema).parquet(doubled_dir)
+    q = _run_available_now(
+        streaming_dedup(stream, id_col="event_id", watermark="2 hours"),
+        "dedup_out",
+        str(tmp_path / "ckpt_dedup"),
+    )
+    q.stop()
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").first()
+    assert n.c == n.n == e.count()
+
+
+def test_session_window_agg_stream_matches_batch(spark, tmp_path):
+    """Built-in session_window aggregation over a stream (complete
+    mode) produces the same sessions as the batch plan."""
+    from skysafe_datalake_spark.streaming.driver import session_window_agg
+
+    e, (d,) = _normalized_events(spark, tmp_path, n_files=1)
+    stream = spark.readStream.schema(e.schema).parquet(d)
+    q = (
+        session_window_agg(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("swa_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_swa"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM swa_out").collect())
+    )
+    want = sorted(map(tuple, session_window_agg(e, gap="30 minutes").collect()))
+    assert got == want and len(got) > 0
