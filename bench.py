@@ -46,6 +46,9 @@ HEADLINE = [
     "salted_skew_agg",
     "window_moving_avg",
     "ann_ivf_topk",
+    "session_window_agg",
+    "dataset_split",
+    "array_functions",
 ]
 
 

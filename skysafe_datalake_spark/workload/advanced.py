@@ -382,3 +382,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("cosine_raw"), 4).alias("cosine"),
         "rank",
     )
+
+
+@register(
+    "array_functions",
+    """
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       CAST(list_min(embedding) AS DOUBLE) AS min_val,
+       floor(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             * 10000.0 + 0.5) / 10000.0 AS l1_norm
+FROM embeddings
+""",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embedding columns — the
+    collection-type surface (size/filter/transform/aggregate,
+    array_max/min) the reference never touches (SURVEY.md §1.2 "not
+    used: arrays"). All JVM lambda expressions inside codegen: the
+    per-element work never leaves the executor, no UDFs. The L1 fold
+    is a sequential left-to-right aggregate — deterministic, matching
+    the oracle's list_sum."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    l1 = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.array_max(v).cast("double").alias("max_val"),
+        F.array_min(v).cast("double").alias("min_val"),
+        pround(l1, 4).alias("l1_norm"),
+    )

@@ -503,3 +503,81 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "utf-8").alias("media")
     )
     return MM.extract_media_features(with_media, decode_stub=True)
+
+
+# ─────────────────────── dataset management ──────────────────────
+
+
+_SPLIT_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+)
+
+
+@register(
+    "dataset_split",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split (80/10/10) by
+    hashing the stable document id — the reproducible-split primitive
+    every training pipeline needs: adding documents never reshuffles
+    existing assignments (unlike randomSplit, whose output depends on
+    partitioning), and the same doc lands in the same split on any
+    cluster, any engine. Pure map — no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "stratified_sample",
+    f"""
+WITH rates(lang, rate) AS (VALUES ('en', 10), ('de', 40), ('fr', 40),
+                                  ('es', 70), ('ja', 100))
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+      < r.rate
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates
+    (down-sample dominant languages, keep the tail) applied through
+    the same stable id-hash as dataset_split. The rate table is a
+    broadcast join — at 100 TB this is a map-only scan that never
+    shuffles the corpus, and reruns select byte-identical samples
+    (sample_fraction/TABLESAMPLE cannot promise either)."""
+    docs = load(spark, sf_dir, "documents")
+    rates = F.broadcast(
+        spark.createDataFrame(
+            [("en", 10), ("de", 40), ("fr", 40), ("es", 70), ("ja", 100)],
+            "lang STRING, rate INT",
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.join(rates, ["lang"])
+        .filter(bucket < F.col("rate"))
+        .select("doc_id", "lang")
+    )

@@ -1,0 +1,114 @@
+"""Physical-plan assertions — the scale contract, not just the answer.
+
+Each test pins the plan property that makes the operator viable at
+100 TB (broadcast instead of shuffle, pushdown into the scan,
+semi/anti decorrelation, whole-stage codegen). A refactor that keeps
+results correct but regresses the plan (e.g. drops a broadcast hint
+and silently falls back to a sort-merge join over the fact table)
+fails here long before a benchmark would catch it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+from skysafe_datalake_spark.workload import QUERIES
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_decode_map_join_broadcasts(spark):
+    """The 5-row decode table must broadcast — never shuffle the
+    event fact side for a lookup join."""
+    plan = plan_of(spark, "decode_map_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nn_join_broadcasts_stations(spark):
+    """The 6-row station table broadcasts under the cross join: the
+    flights side streams in place (BroadcastNestedLoopJoin), no
+    all-to-all exchange of the big side."""
+    plan = plan_of(spark, "nn_station_join")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_subquery_exists_decorrelates(spark):
+    """EXISTS / NOT EXISTS must decorrelate to semi/anti joins (one
+    pass over orders), not re-run a subquery per customer row."""
+    plan = plan_of(spark, "subquery_exists")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_filter_project_pushes_down(spark):
+    """Filter and projection reach the parquet scan: the scan reports
+    pushed filters and a pruned read schema, so at 100 TB only the
+    needed columns/row-groups leave storage."""
+    plan = plan_of(spark, "filter_project")
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 3-column projection over the 11-column lineitem must not
+    read all 11 columns (ReadSchema shows the pruned struct)."""
+    plan = plan_of(spark, "topk_global")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_comment" not in read_schema[0]
+    assert len(read_schema[0].split(",")) <= 6
+
+
+def test_ann_lsh_is_equi_join(spark):
+    """The LSH bucket key turns ANN from a cross join into an
+    equi-join (broadcast hash join on bucket)."""
+    plan = plan_of(spark, "ann_lsh_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_window_pass(spark):
+    """The as-of join is one union + one window pass: exactly one
+    shuffle (hashpartitioning on the key), never a per-key range
+    explosion or sort-merge join."""
+    plan = plan_of(spark, "asof_join_attrib")
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_hot_expressions_stay_in_codegen(spark):
+    """Text analysis runs entirely inside whole-stage codegen — no
+    Python/UDF boundary in the hot path."""
+    plan = plan_of(spark, "text_quality")
+    assert "codegen id" in plan  # formatted mode's codegen marker
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    plan = plan_of(spark, "stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouping_cube_single_shuffle(spark):
+    """CUBE expands grouping sets in one aggregation pipeline: a
+    partial HashAggregate before and a final one after a single
+    exchange — not four separate scans unioned."""
+    plan = plan_of(spark, "grouping_cube")
+    assert "Expand" in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "Union" not in plan
