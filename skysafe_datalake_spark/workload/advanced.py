@@ -420,3 +420,59 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(v).cast("double").alias("min_val"),
         pround(l1, 4).alias("l1_norm"),
     )
+
+
+@register(
+    "window_navigation",
+    f"""
+WITH e AS ({EVENTS_SQL})
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       first_value(value) OVER w AS first_seen_value,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window family (lag/lead/first_value/ntile) over a
+    total per-key order — one shuffle by user_id serves all four
+    functions (they share the window spec, so Catalyst computes them
+    in a single Window operator pass)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_seen_value"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "unpivot_long",
+    """
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+""",
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide → long, the inverse of pivot_wide: Spark's
+    native unpivot expands columns to rows in a single Generate pass
+    over the scan — no shuffle, no N self-scans like the UNION ALL
+    the oracle spells out."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot(
+        ["p_partkey"],
+        ["p_size", "p_retailprice"],
+        "metric",
+        "val",
+    )

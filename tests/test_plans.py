@@ -112,3 +112,29 @@ def test_grouping_cube_single_shuffle(spark):
     assert "Expand" in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "Union" not in plan
+
+
+def test_catalog_latest_partition_prunes(spark, tmp_path):
+    """read_latest turns latest-partition discovery into partition-
+    column predicates: the scan's PartitionFilters prune to one
+    date=/hour= directory — never a full-table read plus filter
+    (the reference lists object-store prefixes in application code
+    to get the same effect)."""
+    from datetime import datetime, timezone
+
+    from skysafe_datalake_spark.catalog import LakeCatalog
+
+    cat = LakeCatalog(str(tmp_path / "lake"))
+    df = spark.range(10).withColumnRenamed("id", "v")
+    cat.write(df, "formatted", "t", "e", ts=datetime(2026, 2, 26, 13, tzinfo=timezone.utc))
+    cat.write(df, "formatted", "t", "e", ts=datetime(2026, 2, 26, 14, tzinfo=timezone.utc))
+
+    latest = cat.read_latest(spark, "formatted", "t", "e")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        latest.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert re.search(r"date#\d+ = 2026-02-26", plan)
+    assert re.search(r"hour#\d+ = 14", plan)
+    assert latest.count() == 10
