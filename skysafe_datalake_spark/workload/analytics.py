@@ -1,0 +1,287 @@
+"""Statistical + serving-style analytics operators.
+
+The reference's serving layer (Kibana dashboard,
+/root/reference/src/dashboard/kibana_dashboard_config.ndjson line 2;
+SURVEY.md §2.12) issues terms-agg/histogram read queries against the
+usage layer — here they are first-class engine queries. Plus the
+statistics a quality/monitoring pipeline needs beyond avg/stddev
+(correlation, regression slope), a forward-fill gap filler for
+sensor-style time series, full-outer join coverage, and TF-IDF term
+scoring over the documents corpus. All DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.workload.registry import register
+from skysafe_datalake_spark.workload.relational import dsum, dsum_sql
+from skysafe_datalake_spark.workload.tables import EVENTS_SQL, load, pround
+
+
+@register(
+    "stats_correlation",
+    f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_quantity * l_extendedprice', 4)} AS sxy,
+         {dsum_sql('l_quantity * l_quantity', 4)} AS sxx,
+         {dsum_sql('l_extendedprice * l_extendedprice', 4)} AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       floor(((sxy - sx * sy / n) / (n - 1.0)) * 10000.0 + 0.5) / 10000.0 AS covar_qty_price,
+       floor(((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price,
+       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5) / 1000000.0 AS slope_price_per_qty
+FROM s
+""",
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped second-moment statistics — sample covariance, Pearson
+    correlation, and OLS slope — from one pass of exact decimal sums
+    (n, Σx, Σy, Σxy, Σx², Σy²). Spark's builtin corr/covar_samp are
+    merge-order sensitive (float partials), so at 1000 executors two
+    runs can differ in the last bits; sufficient-statistics over
+    DECIMAL are associative, making the result partitioning-invariant
+    — and the six sums cost one map-side-combined shuffle, same as a
+    single avg."""
+    li = load(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(p).alias("sy"),
+        dsum(q * p, 4).alias("sxy"),
+        dsum(q * q, 4).alias("sxx"),
+        dsum(p * p, 4).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        pround((sxy - sx * sy / n) / (n - F.lit(1.0)), 4).alias("covar_qty_price"),
+        pround(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        pround((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "slope_price_per_qty"
+        ),
+    )
+
+
+@register(
+    "histogram_fixed_width",
+    """
+SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bucket,
+       floor(o_totalprice / 25000.0) * 25000.0 AS bucket_lo,
+       (floor(o_totalprice / 25000.0) + 1.0) * 25000.0 AS bucket_hi,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)
+def histogram_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — the dashboard's range-bucketed anomaly
+    table (SURVEY.md §2.12) as an engine query. Bucketing is a pure
+    projection (floor of a division), so the whole query is one
+    map-side-combined hash aggregate on the bucket id: ~40 groups
+    regardless of input size, no second shuffle, trivially
+    broadcastable to a serving store."""
+    o = load(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(25000.0))
+    return (
+        o.select(
+            b.cast("int").alias("bucket"),
+            (b * F.lit(25000.0)).alias("bucket_lo"),
+            ((b + F.lit(1.0)) * F.lit(25000.0)).alias("bucket_hi"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "terms_agg_topn",
+    f"""
+WITH e AS ({EVENTS_SQL})
+SELECT event_type, COUNT(*) AS n_events
+FROM e
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT 3
+""",
+)
+def terms_agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms aggregation + top-N — the Kibana donut panel (top-3
+    flight_phase by count, SURVEY.md §2.12) generalized. Hash agg
+    with partial combine, then TakeOrderedAndProject: only the
+    per-partition top-3 of the (tiny) agg output travels to the
+    driver, never a global sort. Tie-broken on the term so the cut
+    is deterministic."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "event_type")
+        .limit(3)
+    )
+
+
+@register(
+    "gap_fill_forward",
+    f"""
+WITH e AS ({EVENTS_SQL})
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'error' THEN NULL ELSE value END AS raw_value,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM e
+""",
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) gap filling for sensor-style series:
+    ``last(value, ignorenulls=True)`` over a running row frame
+    carries the most recent valid reading across gaps (here: 'error'
+    events masked to NULL). One shuffle by key; the running frame is
+    computed in a single ordered pass per partition — the standard
+    time-series imputation primitive the reference's minute-cadence
+    weather feed would need at scale."""
+    e = load(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        masked.alias("raw_value"),
+        F.last(masked, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       c.n_customers,
+       s.n_suppliers
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers
+      FROM supplier GROUP BY s_nationkey) s
+ON c.nk = s.nk
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join (completes the join-type matrix with
+    join_left_outer / join_semi_anti / join_theta_range): aggregate
+    first, join after — both sides shrink to ≤25 rows before the
+    join, so the shuffle moves group counts, not base rows. Full
+    outer forces a real shuffle join (broadcast cannot preserve
+    unmatched right rows), which is exactly what AQE picks."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return c.join(s, c["nk"] == s["nk"], "full_outer").select(
+        F.coalesce(c["nk"], s["nk"]).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf_cnt FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df_cnt FROM tf GROUP BY term
+),
+n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         floor((CAST(tf.tf_cnt AS DOUBLE) * ln(n.n_docs / CAST(df.df_cnt AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic relevance /
+    keyword-extraction primitive over the corpus, UDF-free:
+    tokenize with the same regexp as token_count, count (doc, term)
+    pairs, broadcast the (small) document-frequency table back onto
+    them, score, window-rank per doc. At 100 TB the df table is
+    bounded by vocabulary size (≪ corpus), so the scoring join stays
+    a broadcast; the only big shuffles are the two hash aggregations
+    on (doc_id, term) and the rank by doc_id. Scores are rounded to
+    1e-6 before ranking so a sub-ulp ln() divergence between libm
+    implementations can never flip the cut."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_cnt"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            pround(
+                F.col("tf_cnt").cast("double")
+                * F.log(F.col("n_docs") / F.col("df_cnt").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 3)
+        .drop("_rn")
+    )

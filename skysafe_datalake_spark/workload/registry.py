@@ -30,3 +30,4 @@ from skysafe_datalake_spark.workload import relational  # noqa: E402,F401
 from skysafe_datalake_spark.workload import llm_ops  # noqa: E402,F401
 from skysafe_datalake_spark.workload import temporal  # noqa: E402,F401
 from skysafe_datalake_spark.workload import advanced  # noqa: E402,F401
+from skysafe_datalake_spark.workload import analytics  # noqa: E402,F401
