@@ -1,0 +1,243 @@
+"""Data-curation / governance operators for training-data pipelines.
+
+What a corpus curation stage needs beyond pair-finding: PII redaction
+(regexp masking in-engine, no UDFs), whole-table profiling (the
+null/distinct/range summary a data-quality gate reads), SCD2 validity
+intervals (dimension history for point-in-time training snapshots),
+and near-dup *cluster* assignment (pairs → transitive closure → one
+canonical per cluster). All DuckDB-oracle-checked; the connected
+components oracle is a recursive CTE computing the same fixpoint as
+the engine's iterative min-label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.operators import dedup as D
+from skysafe_datalake_spark.operators.graph import dedup_cluster_assign
+from skysafe_datalake_spark.workload.registry import register
+from skysafe_datalake_spark.workload.tables import load
+
+# Same character classes on both engines (Java regex / RE2 agree here).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_redact",
+    f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw_text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw_text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(raw_text, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(raw_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text
+FROM raw
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as pure projection: regexp match-count + global
+    regexp_replace masking of emails and phone numbers, fully inside
+    whole-stage codegen (no UDF, no shuffle — scales linearly with
+    input splits). The synthetic corpus has no PII, so deterministic
+    fake contact strings are appended first; the redaction patterns
+    are the real operator under test."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "ts"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn = f"CAST(MIN({c}) AS DOUBLE)"
+            mx = f"CAST(MAX({c}) AS DOUBLE)"
+            mns, mxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"MIN({c})", f"MAX({c})"
+        else:  # ts
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            mxs = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       {mns} AS min_str, {mxs} AS max_str
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_table", _profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table profiling (the data-quality gate's input): per
+    column null count, exact distinct count, and min/max — computed
+    in ONE pass over the table (a single multi-aggregate; the oracle
+    spells it as N UNION ALL scans), then pivoted to long form with
+    ``stack``. At 100 TB the single-scan shape is the difference
+    between one job and one job per column; distinct counts
+    downgrade to approx_count_distinct when exactness isn't needed."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}_nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}_nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}_min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}_max"))
+        elif kind == "str":
+            aggs.append(F.min(c).alias(f"{c}_min"))
+            aggs.append(F.max(c).alias(f"{c}_max"))
+        else:
+            aggs.append(
+                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}_min")
+            )
+            aggs.append(
+                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}_max")
+            )
+    row = o.agg(*aggs)
+    stack_args = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"{c}_min", f"{c}_max"
+            mns, mxs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"{c}_min", f"{c}_max"
+        stack_args.append(
+            f"'{c}', n_rows, n_rows - {c}_nn, {c}_nd, {mn}, {mx}, {mns}, {mxs}"
+        )
+    return row.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+            "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        )
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+SELECT o_custkey AS custkey,
+       o_orderpriority AS attr_value,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS INTEGER) AS version
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: each per-key change becomes a
+    validity interval [valid_from, valid_to) via ``lead`` over the
+    change sequence; open intervals flagged ``is_current``. The
+    point-in-time-correct feature lookup primitive (join facts with
+    ``fact.ts >= valid_from AND (valid_to IS NULL OR fact.ts <
+    valid_to)``). One shuffle by key; at scale, range-partition by
+    key and persist sorted so the interval join prunes."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("attr_value"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    """
+WITH RECURSIVE
+docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+sh AS (
+  SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS sh
+  FROM docs, unnest(generate_series(1, greatest(length(text) - 4, 0))) AS t(i)
+  WHERE length(text) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a_id
+  JOIN sizes sb ON sb.doc_id = b_id
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION ALL
+  SELECT b_id AS a, a_id AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       (c.doc_id = c.cluster_id) AS is_canonical
+FROM comp c
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id) s
+  USING (cluster_id)
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS (connected components) →
+    canonical selection: the actionable form of dedup — keep rows
+    where ``is_canonical``, drop the rest. Engine side: iterative
+    min-label propagation over DataFrames
+    (operators/graph.connected_components; large-star/small-star at
+    adversarial diameters); oracle side: recursive-CTE transitive
+    closure — both converge to min-node-id-per-component, so results
+    hash-match exactly."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=5, threshold=0.5
+    ).select("a_id", "b_id")
+    return dedup_cluster_assign(pairs, docs.select("doc_id"), "doc_id")

@@ -31,3 +31,4 @@ from skysafe_datalake_spark.workload import llm_ops  # noqa: E402,F401
 from skysafe_datalake_spark.workload import temporal  # noqa: E402,F401
 from skysafe_datalake_spark.workload import advanced  # noqa: E402,F401
 from skysafe_datalake_spark.workload import analytics  # noqa: E402,F401
+from skysafe_datalake_spark.workload import curation  # noqa: E402,F401

@@ -1,0 +1,53 @@
+"""connected_components: correctness on known component structures.
+
+The oracle-checked dedup_clusters query only exercises tiny-diameter
+near-dup graphs; these tests force multi-round label propagation
+(chains), singletons, and the canonical-selection contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_assign,
+)
+
+
+def test_chain_converges_to_min_label(spark):
+    # 0-1-2-3-4-5 chain: diameter 5 forces several propagation rounds.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src LONG, dst LONG"
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(6)}
+
+
+def test_components_and_singletons(spark):
+    # Two components {1,2,3} and {10,11}; 99 isolated via nodes df.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "src LONG, dst LONG"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "id LONG")
+    comp = connected_components(edges, nodes=nodes, node_col="id")
+    got = {(r["node"], r["cluster_id"]) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)}
+
+
+def test_dedup_cluster_assign_contract(spark):
+    pairs = spark.createDataFrame([(5, 7), (7, 9)], "a_id LONG, b_id LONG")
+    ids = spark.createDataFrame([(5,), (7,), (9,), (42,)], "doc_id LONG")
+    out = dedup_cluster_assign(pairs, ids, "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[5]["cluster_id"] == 5 and rows[5]["is_canonical"]
+    assert rows[7]["cluster_id"] == 5 and not rows[7]["is_canonical"]
+    assert rows[9]["cluster_size"] == 3
+    assert rows[42]["cluster_id"] == 42 and rows[42]["cluster_size"] == 1
+    # exactly one canonical per cluster
+    n_clusters = out.select("cluster_id").distinct().count()
+    n_canonical = out.where("is_canonical").count()
+    assert n_clusters == n_canonical == 2
