@@ -19,9 +19,14 @@ function.
 
 Per round: one shuffle for the neighbour-min aggregation and one for
 the label join, both keyed on node id, so AQE can coalesce/skew-split
-them. Labels are cached per round and unpersisted when replaced; the
-convergence check is a cheap count on the (nodes-sized, not
-edges-sized) changed-label set.
+them. Labels are materialized with ``localCheckpoint`` every round —
+in an iterative dataflow the lineage otherwise nests one full
+join-plan per round, and by round ~15 plan optimization/codegen cost
+(and eventual recompute on eviction) dominates the actual data work;
+checkpointing keeps every round's plan constant-size. Convergence is
+detected from ``sum(label)``: labels only ever decrease, so the sum
+is strictly monotone until fixpoint — one cheap aggregate instead of
+a changed-rows join.
 """
 
 from __future__ import annotations
@@ -43,23 +48,28 @@ def connected_components(
     Parameters
     ----------
     edges : DataFrame with columns ``src``, ``dst`` (undirected; each
-        pair needs to appear in one direction only).
+        pair needs to appear in one direction only). Node ids must be
+        numeric (hash/dense-rank string keys to ids first).
     nodes : optional DataFrame of all node ids (column ``node_col``) —
         include it so isolated nodes (no edges) still get labelled as
         their own singleton cluster.
 
     Returns DataFrame[node, cluster_id].
     """
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .cache()
     )
     if nodes is None:
         node_ids = sym.select(F.col("a").alias("node")).distinct()
     else:
         node_ids = nodes.select(F.col(node_col).alias("node")).distinct()
 
-    labels = node_ids.select("node", F.col("node").alias("cluster_id")).cache()
-    labels.count()
+    labels = node_ids.select(
+        "node", F.col("node").alias("cluster_id")
+    ).localCheckpoint()
+    total = labels.agg(F.sum("cluster_id")).first()[0]
 
     for _ in range(max_iter):
         nbr_min = (
@@ -67,7 +77,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
@@ -76,18 +86,13 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .cache()
+            .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_total = labels.agg(F.sum("cluster_id")).first()[0]
+        if new_total == total:
             break
+        total = new_total
+    sym.unpersist()
     return labels
 
 
