@@ -49,6 +49,12 @@ HEADLINE = [
     "session_window_agg",
     "dataset_split",
     "array_functions",
+    "stats_correlation",
+    "tfidf_top_terms",
+    "gap_fill_forward",
+    "rollup_hierarchy",
+    "dedup_clusters",
+    "profile_table",
 ]
 
 

@@ -285,3 +285,116 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") <= 3)
         .drop("_rn")
     )
+
+
+@register(
+    "rollup_hierarchy",
+    f"""
+WITH e AS ({EVENTS_SQL}),
+minute_agg AS (
+  SELECT date_trunc('minute', ts) AS minute_ts,
+         COUNT(*) AS n_events,
+         {dsum_sql('value')} AS sum_value
+  FROM e GROUP BY date_trunc('minute', ts)
+)
+SELECT date_trunc('hour', minute_ts) AS hour_ts,
+       COUNT(*) AS n_minutes,
+       SUM(n_events) AS n_events,
+       {dsum_sql('sum_value')} AS sum_value
+FROM minute_agg
+GROUP BY date_trunc('hour', minute_ts)
+""",
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable continuous-aggregate
+    pattern): the hour level is computed FROM the minute pre-aggregate,
+    not from raw rows — at 100 TB the minute table is ~1e4× smaller
+    than the events it summarizes, so every coarser grain (hour, day,
+    month) costs a shuffle of pre-aggregated rows only. Decimal sums
+    keep re-aggregation exact: sum-of-minute-sums equals the direct
+    hour sum bit-for-bit on any partitioning."""
+    e = load(spark, sf_dir, "events")
+    minute = e.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute_ts")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+    return minute.groupBy(
+        F.date_trunc("hour", F.col("minute_ts")).alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.sum("n_events").alias("n_events"),
+        dsum(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+@register(
+    "fuzzy_levenshtein_match",
+    """
+WITH p AS (SELECT p_partkey, p_name, p_brand FROM part WHERE p_partkey < 300)
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_name AS a_name, b.p_name AS b_name,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def fuzzy_levenshtein_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: equi-join on a blocking key (brand)
+    first, THEN the quadratic edit-distance check only within blocks
+    — the record-linkage shape that survives scale (never
+    all-pairs levenshtein; the blocking join keeps candidate pairs
+    linear-ish and shuffle-partitioned by block). Bounded to
+    p_partkey < 300 for the gate; at scale the block key would be a
+    coarser sort-key prefix or phonetic code."""
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 300)
+        .select("p_partkey", "p_name", "p_brand")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+        F.col("p_brand").alias("brand"),
+    )
+    return (
+        a.join(b, "brand")
+        .where(F.col("a_key") < F.col("b_key"))
+        .select(
+            "a_key",
+            "b_key",
+            "a_name",
+            "b_name",
+            F.levenshtein("a_name", "b_name").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 4)
+    )
+
+
+@register(
+    "collect_ordered",
+    """
+SELECT c_nationkey AS nationkey,
+       COUNT(*) AS n_customers,
+       string_agg(c_name, ',' ORDER BY c_name) AS members
+FROM customer
+WHERE c_custkey < 500
+GROUP BY c_nationkey
+""",
+)
+def collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: collect_list order is
+    partition-arrival order (nondeterministic on a cluster), so the
+    engine contract is collect → sort_array → join — identical output
+    on any partitioning, matching the oracle's ORDER BY'd string_agg.
+    Bounded input (c_custkey < 500): unbounded per-group collects are
+    an anti-pattern at scale — cap, window-rank, or sketch instead."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("members"),
+    )
