@@ -226,3 +226,35 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "2 hours",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    right rows match left rows with the same key whose timestamp
+    falls in ``[left_ts, left_ts + within]`` (the click→purchase
+    attribution shape). Both sides carry watermarks and the join
+    condition bounds event time in BOTH directions, so Spark can
+    compute a state eviction horizon for each side — without the
+    interval bound a stream-stream join must keep all history
+    (unbounded state). Inputs must have disjoint column names.
+    Works identically on batch inputs (plain range-condition join),
+    which is what the parity test exploits.
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l_wm.join(r_wm, cond, "inner")

