@@ -22,6 +22,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Headline set: one per operator family (kept fast but representative).
 HEADLINE = [
     "nn_station_join",
+    "nn_station_topk",
     "skysafe_enriched",
     "pricing_summary",
     "global_stats",

@@ -48,6 +48,7 @@ class LakeCatalog:
         *,
         ts: datetime | None = None,
         fmt: str = "parquet",
+        options: dict[str, str] | None = None,
     ) -> str:
         """Write one batch into its date/hour partition (dynamic
         overwrite: re-running a minute replaces only that partition —
@@ -59,6 +60,7 @@ class LakeCatalog:
             df.withColumn("date", F.lit(date))
             .withColumn("hour", F.lit(hour))
             .write.format(fmt)
+            .options(**(options or {}))
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("date", "hour")
@@ -66,18 +68,38 @@ class LakeCatalog:
         )
         return target
 
-    def read(self, spark: SparkSession, layer: str, source: str, entity: str, *, fmt: str = "parquet") -> DataFrame:
-        return spark.read.format(fmt).load(self.path(layer, source, entity))
+    def read(
+        self,
+        spark: SparkSession,
+        layer: str,
+        source: str,
+        entity: str,
+        *,
+        fmt: str = "parquet",
+        options: dict[str, str] | None = None,
+    ) -> DataFrame:
+        return (
+            spark.read.format(fmt)
+            .options(**(options or {}))
+            .load(self.path(layer, source, entity))
+        )
 
     def read_latest(
-        self, spark: SparkSession, layer: str, source: str, entity: str, *, fmt: str = "parquet"
+        self,
+        spark: SparkSession,
+        layer: str,
+        source: str,
+        entity: str,
+        *,
+        fmt: str = "parquet",
+        options: dict[str, str] | None = None,
     ) -> DataFrame:
         """Latest date/hour partition only (reference S7,
         ``src/helpers.py:126-154``). The max() runs on partition
         columns — satisfied from partition listing, no data read —
         and the literal equality predicates prune the scan to one
         directory."""
-        df = self.read(spark, layer, source, entity, fmt=fmt)
+        df = self.read(spark, layer, source, entity, fmt=fmt, options=options)
         latest = df.select("date", "hour").distinct().orderBy(
             F.col("date").desc(), F.col("hour").desc()
         ).first()

@@ -45,6 +45,7 @@ def nearest_neighbor_join(
     tie_breakers: Sequence[str] = (),
     broadcast_right: bool = True,
     strategy: str = "auto",
+    rank_name: str | None = None,
 ) -> DataFrame:
     """Join each left row to its k nearest right rows.
 
@@ -57,6 +58,9 @@ def nearest_neighbor_join(
         robust to sub-microscale FP divergence across engines.
     tie_breakers : right-side columns appended to the ordering for a
         total (deterministic) order.
+    rank_name : if set, keep the 1-based neighbour rank under this
+        column name (window strategy only; with k=1 argmin the rank
+        is trivially 1).
     """
     right_in = F.broadcast(right) if broadcast_right else right
     joined = left.crossJoin(right_in).withColumn(distance_name, distance)
@@ -83,8 +87,9 @@ def nearest_neighbor_join(
     w = Window.partitionBy(*partition_by).orderBy(
         rank_on.asc(), *[F.col(c).asc() for c in tie_breakers]
     )
-    return (
-        joined.withColumn("_nn_rank", F.row_number().over(w))
-        .filter(F.col("_nn_rank") <= k)
-        .drop("_nn_rank")
+    ranked = joined.withColumn("_nn_rank", F.row_number().over(w)).filter(
+        F.col("_nn_rank") <= k
     )
+    if rank_name is None:
+        return ranked.drop("_nn_rank")
+    return ranked.withColumnRenamed("_nn_rank", rank_name)

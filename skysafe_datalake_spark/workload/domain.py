@@ -251,3 +251,47 @@ def skysafe_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_anomaly",
         "anomaly_score",
     )
+
+
+@register(
+    "nn_station_topk",
+    _NEAREST_SQL.replace(
+        "PARTITION BY flight_id ORDER BY floor(dist_raw * 1000000.0 + 0.5) / 1000000.0, station_id) = 1",
+        "PARTITION BY flight_id ORDER BY floor(dist_raw * 1000000.0 + 0.5) / 1000000.0, station_id) <= 3",
+    )
+    + """
+SELECT flight_id, station_id,
+       CAST(row_number() OVER (
+         PARTITION BY flight_id
+         ORDER BY floor(dist_raw * 1000000.0 + 0.5) / 1000000.0, station_id
+       ) AS INTEGER) AS rank,
+       floor(dist_raw * 10000.0 + 0.5) / 10000.0 AS dist_km
+FROM nearest
+""",
+)
+def nn_station_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 nearest stations per flight — exercises the generic
+    window-rank strategy of nearest_neighbor_join (k>1 can't use the
+    argmin partial-agg fast path; it broadcasts the station side and
+    ranks within each flight partition). Same shuffle bound as k=1:
+    one exchange keyed on flight_id."""
+    flights = synthetic_flights(load(spark, sf_dir, "events"))
+    stations = stations_df(spark)
+    dist = haversine_km("lat", "lon", "s_lat", "s_lon")
+    nn = nearest_neighbor_join(
+        flights,
+        stations,
+        partition_by=["flight_id"],
+        distance=dist,
+        k=3,
+        distance_name="dist_raw",
+        order_by=pround(F.col("dist_raw"), 6),
+        tie_breakers=["station_id"],
+        rank_name="_nn_rank",
+    )
+    return nn.select(
+        "flight_id",
+        "station_id",
+        F.col("_nn_rank").cast("int").alias("rank"),
+        pround(F.col("dist_raw"), 4).alias("dist_km"),
+    )

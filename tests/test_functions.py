@@ -137,3 +137,29 @@ def test_phase_rules(spark, alt, vel, vr, phase, pid):
     row = out.first()
     assert row["p"] == phase
     assert row["pid"] == pid
+
+
+def test_approx_aggregates_track_exact(spark):
+    """The 100 TB scale path for count_distinct / percentile_stats is
+    HLL++ (approx_count_distinct) and GK quantiles (percentile_approx)
+    — single-pass, mergeable sketch state instead of Expand/sort.
+    Contract: within stated error of the exact answers."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+
+    from skysafe_datalake_spark.workload.tables import load
+
+    o = load(spark, SF_SMALL, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("nd_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("nd_approx"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("p_exact"),
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("p_approx"),
+    ).first()
+    assert abs(row["nd_approx"] - row["nd_exact"]) / row["nd_exact"] < 0.05
+    spread = max(row["p_exact"]) - min(row["p_exact"]) or 1.0
+    for exact, approx in zip(row["p_exact"], row["p_approx"]):
+        assert abs(approx - exact) / spread < 0.02
