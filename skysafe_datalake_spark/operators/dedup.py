@@ -86,11 +86,15 @@ def minhash_signatures(
 
     Hash family: two md5 digests per shingle (md5('a|'+s), md5('b|'+s))
     concatenated to 64 hex chars and cut into ``n_hashes`` disjoint
-    8-hex (32-bit) slices; sig_i = min over shingles of slice i.
-    Disjoint md5 bytes are independent uniform hashes, so this is a
-    proper minhash family at a quarter of the digest cost of
-    md5(i||s) per permutation. Lexicographic min over fixed-width hex
-    == numeric min.
+    8-hex (32-bit) slices, each parsed to a bigint; sig_i = min over
+    shingles of slice i. Disjoint md5 bytes are independent uniform
+    hashes, so this is a proper minhash family at a quarter of the
+    digest cost of md5(i||s) per permutation. Numeric min over the
+    parsed 32-bit values == lexicographic min over the fixed-width
+    hex — and bigint agg buffers keep the aggregation in
+    HashAggregate (min over *string* slices falls back to
+    SortAggregate, which sorts the entire exploded shingle stream
+    per task before combining).
 
     Exploding shingles multiplies rows by ~|text|, but the groupBy's
     map-side partial aggregation collapses them back to one
@@ -110,7 +114,9 @@ def minhash_signatures(
     )
     with_digest = exploded.select(F.col(id_col), digest.alias("h"))
     aggs = [
-        F.min(F.substring(F.col("h"), 1 + 8 * i, 8)).alias(f"mh{i}")
+        F.min(
+            F.conv(F.substring(F.col("h"), 1 + 8 * i, 8), 16, 10).cast("bigint")
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     return with_digest.groupBy(id_col).agg(*aggs)

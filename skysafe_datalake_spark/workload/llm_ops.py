@@ -66,12 +66,13 @@ sh AS (
 """
 
 # Twin of operators.dedup.minhash_signatures' hash family: two md5
-# digests → 64 hex chars → 8 disjoint 32-bit slices.
+# digests → 64 hex chars → 8 disjoint 32-bit slices parsed to bigint.
 _SIG_CTE = (
     "hd AS (SELECT doc_id, md5('a|' || sh) || md5('b|' || sh) AS h FROM sh),\n"
     "sig AS (SELECT doc_id, "
     + ", ".join(
-        f"min(substr(h, {1 + 8 * i}, 8)) AS mh{i}" for i in range(_N_HASHES)
+        f"min(CAST(('0x' || substr(h, {1 + 8 * i}, 8)) AS BIGINT)) AS mh{i}"
+        for i in range(_N_HASHES)
     )
     + " FROM hd GROUP BY doc_id)"
 )

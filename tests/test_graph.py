@@ -51,3 +51,46 @@ def test_dedup_cluster_assign_contract(spark):
     n_clusters = out.select("cluster_id").distinct().count()
     n_canonical = out.where("is_canonical").count()
     assert n_clusters == n_canonical == 2
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Empty-input robustness (the reference guards this with an
+    explicit schema for empty flight batches,
+    /root/reference/src/format_flights.py:104): key operators return
+    empty, correctly-schemed results instead of raising when a
+    micro-batch has no rows."""
+    from skysafe_datalake_spark.functions.geo import haversine_km
+    from skysafe_datalake_spark.operators import dedup as D
+    from skysafe_datalake_spark.operators.nn_join import nearest_neighbor_join
+    from skysafe_datalake_spark.operators.temporal import sessionize
+    from skysafe_datalake_spark.workload.tables import stations_df
+
+    empty_docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    sigs = D.minhash_signatures(empty_docs, "doc_id", "text")
+    assert sigs.count() == 0 and len(sigs.columns) == 9
+
+    pairs = D.minhash_lsh_pairs(sigs, "doc_id")
+    assert pairs.count() == 0
+    assert pairs.columns == ["a_id", "b_id", "n_matching"]
+
+    empty_events = spark.createDataFrame(
+        [], "event_id LONG, user_id LONG, ts TIMESTAMP"
+    )
+    sess = sessionize(
+        empty_events, by=["user_id"], ts="ts", gap_seconds=1800,
+        tie_breakers=["event_id"],
+    )
+    assert sess.count() == 0
+
+    empty_flights = spark.createDataFrame(
+        [], "flight_id LONG, lat DOUBLE, lon DOUBLE"
+    )
+    nn = nearest_neighbor_join(
+        empty_flights,
+        stations_df(spark),
+        partition_by=["flight_id"],
+        distance=haversine_km("lat", "lon", "s_lat", "s_lon"),
+        tie_breakers=["station_id"],
+    )
+    assert nn.count() == 0
+    assert "dist_km" in nn.columns
