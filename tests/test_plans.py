@@ -138,3 +138,91 @@ def test_catalog_latest_partition_prunes(spark, tmp_path):
     assert re.search(r"date#\d+ = 2026-02-26", plan)
     assert re.search(r"hour#\d+ = 14", plan)
     assert latest.count() == 10
+
+
+def test_bucketed_join_drops_both_exchanges(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    join with ZERO Exchange operators: bucket layout satisfies the
+    join's distribution requirement on both sides — the co-located
+    join that makes repeated fact-fact joins affordable at 100 TB.
+    Bucket-sorting also eliminates both Sort operators."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.storage import read_table, write_bucketed
+    from skysafe_datalake_spark.workload.tables import load
+
+    o = load(spark, SF_SMALL, "orders")
+    c = load(spark, SF_SMALL, "customer")
+    write_bucketed(
+        o, "b_orders", keys=["o_custkey"], n_buckets=4,
+        sort_by=["o_custkey"], path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        c, "b_customer", keys=["c_custkey"], n_buckets=4,
+        sort_by=["c_custkey"], path=str(tmp_path / "b_customer"),
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "b_orders").join(
+            read_table(spark, "b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+        assert joined.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A join with one hot key (80% of rows) triggers AQE's skew-join
+    split: the final adaptive plan marks the sort-merge join
+    skew=true, meaning the hot partition was subdivided across tasks
+    instead of serializing on one straggler — the runtime half of the
+    skew story (the compile-time half is salted_skew_agg)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        c: spark.conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # thresholds shrunk so test-sized data exhibits "skew"
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 200000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for c, v in saved.items():
+            spark.conf.set(c, v)
