@@ -50,6 +50,8 @@ HEADLINE = [
     "session_window_agg",
     "dataset_split",
     "array_functions",
+    "tpch_q3_like",
+    "window_range_frame",
     "stats_correlation",
     "tfidf_top_terms",
     "gap_fill_forward",

@@ -398,3 +398,87 @@ def collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("members"),
     )
+
+
+@register(
+    "window_range_frame",
+    f"""
+WITH e AS ({EVENTS_SQL})
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_last_hour
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame — 'events in the trailing hour
+    per user', the sliding-window primitive ROWS frames can't express
+    (frame width follows event-time density, not row count). Ordered
+    on epoch micros so both engines draw identical frame boundaries;
+    the frame sum goes through DECIMAL so trailing-window results are
+    identical on any partitioning. One shuffle by user; at 100 TB
+    pair with partition pruning on the time column so the frame only
+    scans the relevant span."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
+
+
+@register(
+    "tpch_q3_like",
+    f"""
+SELECT l_orderkey,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dimension filter
+    → 3-way join → grouped revenue → global top-10. The plan story at
+    scale: both join filters push into the scans, the filtered
+    customer side hash-joins orders, revenue aggregates with map-side
+    partials keyed on l_orderkey, and the ORDER BY+LIMIT becomes
+    TakeOrderedAndProject (per-partition top-10, never a global
+    sort). Revenue through decimal sums; ties broken on l_orderkey so
+    the top-10 cut is deterministic."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

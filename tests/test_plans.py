@@ -226,3 +226,16 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for c, v in saved.items():
             spark.conf.set(c, v)
+
+
+def test_tpch_q3_like_topk_and_pushdown(spark):
+    """The Q3 shape must plan as: filters pushed into all three scans
+    and the final ORDER BY+LIMIT as TakeOrderedAndProject (per-
+    partition top-k merged on the driver) — a global Sort of the agg
+    output is the 100 TB failure mode."""
+    plan = plan_of(spark, "tpch_q3_like")
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"^\(\d+\) Sort", plan, re.M)) == 0
+    assert plan.count("PushedFilters: [Is") + plan.count(
+        "PushedFilters: [Great"
+    ) + plan.count("PushedFilters: [Less") + plan.count("PushedFilters: [EqualTo") >= 3
