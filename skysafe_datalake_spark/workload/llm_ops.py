@@ -582,3 +582,48 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("rate"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "bigram_topk",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+  FROM toks WHERE len(ts) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM big GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams — the n-gram counting step of LM data
+    prep, computed array-natively: adjacent pairs come from a
+    ``transform(sequence(...))`` over each document's token array
+    (no per-token shuffle, no self-join on position — the only
+    exchange is the final count aggregation, map-side-combined on
+    ~vocabulary² keys), then TakeOrderedAndProject for the cut."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias(
+            "ts"
+        )
+    ).where(F.size("ts") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> concat(ts[i-1], ' ', ts[i]))")
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
