@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Scale smoke: replicate sf0.1 8x (key-shifted copies, so join and
+group cardinalities grow honestly) into /tmp and compare wall time of
+representative queries at both scales.
+
+Not part of the driver contract (bench.py is) — this is the evidence
+artifact behind README's "Measured scaling" section. Run:
+
+    python scale_smoke.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/sparkgraft_sf0.8"
+REPL = 8
+SHIFT = 10_000_000
+NAMES = [
+    "pricing_summary",
+    "window_topk_per_group",
+    "tpch_q3_like",
+    "sessionize_events",
+    "nn_station_join",
+    "global_stats",
+    "asof_join_attrib",
+    "rollup_hierarchy",
+]
+
+
+def replicate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def rep(df, id_cols):
+        parts = []
+        for i in range(REPL):
+            p = df
+            for c in id_cols:
+                p = p.withColumn(c, F.col(c) + F.lit(i * SHIFT))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    shifted = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "events": ["event_id", "user_id"],
+    }
+    os.makedirs(DST, exist_ok=True)
+    for t, cols in shifted.items():
+        rep(spark.read.parquet(f"{SRC}/{t}.parquet"), cols).write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{t}.parquet")
+    for t in ["region", "nation", "supplier", "part", "documents", "embeddings"]:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{t}.parquet"
+        )
+
+
+def timed(spark, sf_dir: str) -> dict[str, float]:
+    from skysafe_datalake_spark.workload import QUERIES
+
+    for n in NAMES:  # warm: codegen + readers
+        QUERIES[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out = {}
+    for n in NAMES:
+        df = QUERIES[n](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[n] = time.perf_counter() - t0
+    return out
+
+
+def main() -> None:
+    from skysafe_datalake_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scale-smoke", master=f"local[{cpus}]")
+    replicate(spark)
+    small = timed(spark, SRC)
+    big = timed(spark, DST)
+    print(f"{'query':24s} {'1x':>7s} {f'{REPL}x':>7s} {'ratio':>6s}")
+    for n in NAMES:
+        print(f"{n:24s} {small[n]:7.2f} {big[n]:7.2f} {big[n] / small[n]:6.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
