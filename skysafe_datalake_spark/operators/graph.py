@@ -6,16 +6,16 @@ document assigned to exactly one duplicate CLUSTER, one canonical kept):
 transitive closure of the pair graph. Training-data pipelines (C4-style
 corpus curation) need this as a first-class operator.
 
-Algorithm: iterative min-label propagation, entirely in DataFrame ops —
-each round every node takes ``min(own label, neighbours' labels)``;
-fixpoint = each component labelled by its minimum node id. Rounds needed
-equal the graph diameter; near-dup clusters have tiny diameters (dups of
-a dup are dups), so convergence is a handful of rounds. For adversarial
-long-chain graphs at 100 TB, swap the loop body for the large-star /
-small-star transform (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14), which converges in O(log²n) rounds —
-same fixpoint, same caller contract, so the swap is local to this
-function.
+Two algorithms, same contract and fixpoint (min node id per component):
+
+- :func:`connected_components` — iterative min-label propagation; each
+  round every node takes ``min(own label, neighbours' labels)``.
+  Rounds = graph diameter; near-dup clusters have tiny diameters
+  (dups of a dup are dups), so this is the cheap default.
+- :func:`connected_components_star` — alternating large-star /
+  small-star contraction (Kiveris et al., "Connected Components in
+  MapReduce and Beyond", SoCC'14), O(log²n) rounds on ANY shape; use
+  it when component diameters are unbounded (web graphs, chains).
 
 Per round: one shuffle for the neighbour-min aggregation and one for
 the label join, both keyed on node id, so AQE can coalesce/skew-split
@@ -122,4 +122,107 @@ def dedup_cluster_assign(
             "cluster_size",
             (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
         )
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionAll(
+        edges.select(F.col("a").alias("b"), F.col("b").alias("a")).select("a", "b")
+    )
+
+
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """Order-insensitive edge-set fingerprint for convergence checks:
+    count + two independent mixes. One aggregate job, no sort."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.lit(2654435761) + F.col("b")).alias("s1"),
+        F.sum(F.col("a") + F.col("b") * F.lit(40503)).alias("s2"),
+    ).first()
+    return (row["n"], row["s1"], row["s2"])
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — O(log² n) rounds on ANY graph shape,
+    where plain min-label propagation needs diameter rounds (a
+    1M-node chain = 1M rounds). Same contract and fixpoint as
+    :func:`connected_components`; use this variant when cluster
+    diameters are unbounded (web graphs, citation chains).
+
+    large-star(u): hang every neighbour v > u onto m = min(Γ(u)∪{u});
+    small-star(u): hang every neighbour v <= u (and u) onto that min.
+    Each round is two groupBy-min aggregations plus an equi-join,
+    all keyed on node id; edges are localCheckpoint'ed per round so
+    plan depth stays constant.
+    """
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        if cur.isEmpty():
+            break
+        # ── large-star ──
+        sym = _symmetrize(cur)
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("a"), F.col("_mn")).alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # ── small-star ──
+        sym2 = _symmetrize(large)
+        smaller = sym2.where(F.col("b") <= F.col("a"))
+        mins2 = (
+            smaller.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("a"), F.col("_mn")).alias("m"))
+        )
+        hang = smaller.join(mins2, "a")
+        small = (
+            hang.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionAll(hang.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = small
+        cs = _edge_checksum(cur)
+        if cs == prev_sum:
+            break
+        prev_sum = cs
+
+    # At fixpoint every edge points node -> component root (min id).
+    root = (
+        _symmetrize(cur)
+        .groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("_mn")).alias("cluster_id"),
+        )
+    )
+    if nodes is None:
+        return root
+    node_ids = nodes.select(F.col(node_col).alias("node")).distinct()
+    return node_ids.join(root, "node", "left").select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id")
     )

@@ -94,3 +94,25 @@ def test_operators_tolerate_empty_inputs(spark):
     )
     assert nn.count() == 0
     assert "dist_km" in nn.columns
+
+
+def test_star_contraction_handles_long_chain(spark):
+    """large-star/small-star converges on a 64-node chain (diameter
+    63) within its O(log²n) round budget — the graph shape where
+    plain min-label propagation would need 63 rounds."""
+    from skysafe_datalake_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)] + [(100, 101)], "src LONG, dst LONG"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(64)] + [(100,), (101,), (999,)], "id LONG"
+    )
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components_star(
+            edges, nodes=nodes, node_col="id"
+        ).collect()
+    }
+    want = {(i, 0) for i in range(64)} | {(100, 100), (101, 100), (999, 999)}
+    assert got == want

@@ -18,7 +18,10 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from skysafe_datalake_spark.functions.geo import haversine_km
-from skysafe_datalake_spark.operators.graph import connected_components
+from skysafe_datalake_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 from skysafe_datalake_spark.workload.tables import pround, pround_sql
 
 SLOW = settings(
@@ -101,7 +104,8 @@ class _UnionFind:
     )
 )
 def test_connected_components_matches_union_find(spark, raw_edges):
-    """The distributed min-label propagation must equal a sequential
+    """Both distributed algorithms (min-label propagation AND
+    large-star/small-star contraction) must equal a sequential
     union-find on any random graph (self-loops and duplicate edges
     included)."""
     nodes = list(range(8))
@@ -117,8 +121,9 @@ def test_connected_components_matches_union_find(spark, raw_edges):
 
     edges = spark.createDataFrame(raw_edges, "src LONG, dst LONG")
     nodes_df = spark.createDataFrame([(n,) for n in nodes], "id LONG")
-    got = {
-        r["node"]: r["cluster_id"]
-        for r in connected_components(edges, nodes=nodes_df, node_col="id").collect()
-    }
-    assert got == want
+    for algo in (connected_components, connected_components_star):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in algo(edges, nodes=nodes_df, node_col="id").collect()
+        }
+        assert got == want, algo.__name__
