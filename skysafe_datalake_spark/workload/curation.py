@@ -239,3 +239,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_k=5, threshold=0.5
     ).select("a_id", "b_id")
     return dedup_cluster_assign(pairs, docs.select("doc_id"), "doc_id")
+
+
+@register(
+    "pit_join_scd2",
+    """
+WITH dim AS (
+  SELECT o_custkey AS custkey,
+         o_orderpriority AS attr_value,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+facts AS (
+  SELECT l_orderkey, l_linenumber, o_custkey AS custkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT f.l_orderkey, f.l_linenumber, f.custkey,
+       d.attr_value AS priority_at_ship
+FROM facts f
+JOIN dim d
+  ON f.custkey = d.custkey
+ AND f.l_shipdate >= d.valid_from
+ AND (d.valid_to IS NULL OR f.l_shipdate < d.valid_to)
+""",
+)
+def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history: each fact row picks
+    the dimension version whose validity interval covers the fact's
+    event time — THE leakage-free feature-lookup primitive for
+    training-data assembly (a plain latest-value join would leak
+    future attribute values into past examples). Planned as an
+    equi-join on the key with the interval predicates as join-level
+    filters: one co-partitioned shuffle by key, candidates bounded by
+    versions-per-key. The non-equi interval check never becomes a
+    cross join."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("attr_value"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = load(spark, sf_dir, "lineitem")
+    facts = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_custkey").alias("custkey"),
+        "l_shipdate",
+    )
+    cond = (
+        (facts["custkey"] == dim["custkey"])
+        & (facts["l_shipdate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (facts["l_shipdate"] < dim["valid_to"]))
+    )
+    return facts.join(dim, cond).select(
+        facts["l_orderkey"],
+        facts["l_linenumber"],
+        facts["custkey"],
+        dim["attr_value"].alias("priority_at_ship"),
+    )
