@@ -58,6 +58,9 @@ HEADLINE = [
     "rollup_hierarchy",
     "dedup_clusters",
     "profile_table",
+    "pit_join_scd2",
+    "bigram_topk",
+    "chunk_documents",
 ]
 
 

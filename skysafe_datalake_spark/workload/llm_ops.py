@@ -627,3 +627,58 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "chunk_documents",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(1, greatest(len(ts) - 10, 1), 40)) AS start
+  FROM toks WHERE len(ts) >= 1
+)
+SELECT doc_id,
+       CAST((start - 1) / 40 AS INTEGER) AS chunk_idx,
+       array_to_string(ts[start : start + 49], ' ') AS chunk_text,
+       CAST(len(ts[start : start + 49]) AS INTEGER) AS n_tokens
+FROM starts
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, 10-token
+    overlap, stride 40) — the tokenize→chunk step that turns a corpus
+    into training examples. Array-native: chunk starts come from
+    ``sequence(1, n-overlap, stride)`` and each chunk is a
+    ``slice`` + ``array_join`` over the per-doc token array, so the
+    whole operator is a Generate + projection inside codegen — no
+    shuffle at all, no Python; output rows ≈ input tokens / stride,
+    embarrassingly parallel over input splits at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias(
+            "ts"
+        ),
+    ).where(F.size("ts") >= 1)
+    starts = toks.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("ts") - F.lit(10), F.lit(1)),
+                F.lit(40),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("ts"), F.col("start"), 50)
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / 40).cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+    )
