@@ -682,3 +682,64 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("int").alias("n_tokens"),
     )
+
+
+@register(
+    "embedding_quantize",
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, vec,
+         127.0 / list_max(list_transform(vec, x -> abs(x))) AS scale
+  FROM v
+  WHERE list_max(list_transform(vec, x -> abs(x))) > 0.0
+),
+q AS (
+  SELECT vec_id, vec, scale,
+         list_transform(vec, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS qvec
+  FROM scaled
+)
+SELECT vec_id,
+       qvec,
+       floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale_r,
+       floor(list_max(list_transform(generate_series(1, len(vec)),
+                                     i -> abs(vec[i] - qvec[i] / scale)))
+             * 1000000.0 + 0.5) / 1000000.0 AS max_abs_err
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors (per-vector
+    scale = 127/max|x|) plus the reconstruction-error audit — the
+    4x storage/bandwidth reduction that makes a 100 TB embedding
+    store shuffle-able. Pure higher-order array expressions
+    (transform / array_max / zip_with), zero shuffle, zero Python;
+    the error column is the quality gate a pipeline would alert on."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", vec.alias("vec"))
+    max_abs = F.array_max(F.transform(F.col("vec"), F.abs))
+    scaled = v.where(max_abs > 0.0).select(
+        "vec_id", "vec", (F.lit(127.0) / max_abs).alias("scale")
+    )
+    qvec = F.transform(
+        F.col("vec"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    q = scaled.select("vec_id", "vec", "scale", qvec.alias("qvec"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("vec"),
+            F.col("qvec"),
+            lambda x, qx: F.abs(x - qx.cast("double") / F.col("scale")),
+        )
+    )
+    return q.select(
+        "vec_id",
+        "qvec",
+        pround(F.col("scale"), 6).alias("scale_r"),
+        pround(err, 6).alias("max_abs_err"),
+    )
