@@ -257,3 +257,60 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def simhash_neardup_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via banded blocking.
+
+    Split the fingerprint into ``n_bands`` disjoint bit-bands; by
+    pigeonhole, two fingerprints within Hamming distance < n_bands
+    must agree exactly on at least one band — so candidates come from
+    an equi-join on band values (never all-pairs), then the exact
+    ``bit_count(xor)`` check keeps pairs with distance <=
+    ``max_hamming``. Same candidate-then-verify shape as MinHash-LSH,
+    shuffles keyed on band values.
+    """
+    band_width = n_bits // n_bands
+    mask = (1 << band_width) - 1
+    sigs = signatures.cache()
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("band_key"))
+    pairs = (
+        banded.select("band_key", F.col(id_col).alias("a_id"))
+        .join(banded.select("band_key", F.col(id_col).alias("b_id")), ["band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    a = sigs.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sig"))
+    b = sigs.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sig"))
+    return (
+        pairs.join(a, ["a_id"])
+        .join(b, ["b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -743,3 +743,54 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("scale"), 6).alias("scale_r"),
         pround(err, 6).alias("max_abs_err"),
     )
+
+
+_SIMHASH_SIG_SQL = """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i AS bit, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS c
+  FROM th, unnest(generate_series(0, 15)) AS t(i)
+),
+sums AS (SELECT doc_id, bit, SUM(c) AS s FROM bits GROUP BY doc_id, bit),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "simhash_neardup_pairs",
+    f"""
+WITH {_SIMHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, simhash,
+         unnest([{", ".join(f"concat('{b}|', CAST((simhash >> {4 * b}) & 15 AS VARCHAR))" for b in range(4))}]) AS band_key
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b USING (band_key)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING (completes the fingerprint family):
+    4 disjoint 4-bit bands block the candidates — pigeonhole
+    guarantees any pair within Hamming distance 3 shares a band —
+    then exact bit_count(xor) verifies. Candidate-then-verify, like
+    MinHash-LSH, never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.simhash(docs, "doc_id", "text", n_bits=16)
+    return D.simhash_neardup_pairs(
+        sigs, "doc_id", n_bits=16, n_bands=4, max_hamming=3
+    )
