@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from skysafe_datalake_spark.operators import dedup as D
 from skysafe_datalake_spark.operators.graph import dedup_cluster_assign
 from skysafe_datalake_spark.workload.registry import register
-from skysafe_datalake_spark.workload.tables import load
+from skysafe_datalake_spark.workload.tables import load, pround
 
 # Same character classes on both engines (Java regex / RE2 agree here).
 _EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -300,4 +300,54 @@ def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts["l_linenumber"],
         facts["custkey"],
         dim["attr_value"].alias("priority_at_ship"),
+    )
+
+
+@register(
+    "iqr_outlier_filter",
+    """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                  value, props FROM events),
+q AS (
+  SELECT event_type, quantile_cont(value, [0.25, 0.75]) AS qs
+  FROM e GROUP BY event_type
+),
+fences AS (
+  SELECT event_type,
+         floor((qs[1] - 1.5 * (qs[2] - qs[1])) * 1000000.0 + 0.5) / 1000000.0 AS lo,
+         floor((qs[2] + 1.5 * (qs[2] - qs[1])) * 1000000.0 + 0.5) / 1000000.0 AS hi
+  FROM q
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value < f.lo OR e.value > f.hi) AS is_outlier
+FROM e JOIN fences f USING (event_type)
+""",
+)
+def iqr_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier flagging (1.5 IQR beyond the quartiles) —
+    the standard numeric data-cleaning gate before training. Two
+    passes: exact per-group quartiles (tiny result), then the fence
+    table BROADCAST back onto the fact rows — the per-group-stats →
+    broadcast-rejoin shape that avoids shuffling the fact side
+    entirely (same pattern as the reference's μ+2σ anomaly
+    threshold, /root/reference/src/combine_spark.py:366-384, done
+    relationally). Fences are quantized to 1e-6 so both engines
+    compare against identical constants."""
+    e = load(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25D, 0.75D))").alias("qs")
+    )
+    q1, q3 = F.col("qs")[0], F.col("qs")[1]
+    fences = q.select(
+        "event_type",
+        pround(q1 - F.lit(1.5) * (q3 - q1), 6).alias("lo"),
+        pround(q3 + F.lit(1.5) * (q3 - q1), 6).alias("hi"),
+    )
+    return e.join(F.broadcast(fences), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "is_outlier"
+        ),
     )
