@@ -64,6 +64,13 @@ HEADLINE = [
 ]
 
 
+def _sf_value(dirname: str) -> float | None:
+    try:
+        return float(dirname[2:])
+    except ValueError:
+        return None
+
+
 def main() -> None:
     from skysafe_datalake_spark.session import get_spark
     from skysafe_datalake_spark.workload import QUERIES
@@ -76,9 +83,24 @@ def main() -> None:
     # and JITs the hot loops, so the timed pass below measures the
     # engine's steady-state throughput rather than one-time JVM setup
     # billed to whichever query runs first (first-run penalty is
-    # ~4s of codegen on the widest plans).
-    warm_sf = "/root/testdata/sf0.001"
-    warm_dir = warm_sf if os.path.isdir(warm_sf) else SF_DIR
+    # ~4s of codegen on the widest plans). The warm-up dir is derived
+    # from SF_DIR (sibling smallest sf*), overridable via
+    # SPARK_GRAFT_WARM_DIR, and falls back to SF_DIR itself (which
+    # doubles bench wall time — hence the log line).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR")
+    if not warm_dir:
+        parent = os.path.dirname(SF_DIR.rstrip("/"))
+        sfs = sorted(
+            d for d in (os.listdir(parent) if os.path.isdir(parent) else [])
+            if d.startswith("sf") and os.path.isdir(os.path.join(parent, d))
+        )
+        smallest = min(
+            (d for d in sfs if _sf_value(d) is not None),
+            key=_sf_value,
+            default=None,
+        )
+        warm_dir = os.path.join(parent, smallest) if smallest else SF_DIR
+    print(f"# warm-up dir: {warm_dir}", file=sys.stderr)
     for name in names:
         QUERIES[name](spark, warm_dir).write.format("noop").mode(
             "overwrite"

@@ -77,12 +77,17 @@ class LakeCatalog:
         *,
         fmt: str = "parquet",
         options: dict[str, str] | None = None,
+        schema=None,
     ) -> DataFrame:
-        return (
-            spark.read.format(fmt)
-            .options(**(options or {}))
-            .load(self.path(layer, source, entity))
-        )
+        """``schema`` (StructType) applies to the data files only;
+        partition columns (date/hour) are still appended by partition
+        discovery. Required for raw JSON whose payload types must not
+        be inferred (e.g. opensky.RAW_SCHEMA keeps heterogeneous
+        states[][] scalars as strings)."""
+        reader = spark.read.format(fmt).options(**(options or {}))
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(self.path(layer, source, entity))
 
     def read_latest(
         self,
@@ -93,13 +98,16 @@ class LakeCatalog:
         *,
         fmt: str = "parquet",
         options: dict[str, str] | None = None,
+        schema=None,
     ) -> DataFrame:
         """Latest date/hour partition only (reference S7,
         ``src/helpers.py:126-154``). The max() runs on partition
         columns — satisfied from partition listing, no data read —
         and the literal equality predicates prune the scan to one
         directory."""
-        df = self.read(spark, layer, source, entity, fmt=fmt, options=options)
+        df = self.read(
+            spark, layer, source, entity, fmt=fmt, options=options, schema=schema
+        )
         latest = df.select("date", "hour").distinct().orderBy(
             F.col("date").desc(), F.col("hour").desc()
         ).first()

@@ -86,7 +86,14 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
     )
     df = df.cache()  # fit + transform + stats re-traverse this plan
     model = Pipeline(stages=[assembler, scaler, kmeans]).fit(df)
-    clustered = model.transform(df).drop("_ml_features_raw", "_ml_features").cache()
+    # localCheckpoint (lazy), not cache(): the label stats, threshold
+    # aggregate, and the caller's final action all reuse the blocks,
+    # and the ContextCleaner frees them once the result frame is
+    # dropped — cache() entries would leak in the CacheManager across
+    # repeated batch runs (streaming foreachBatch).
+    clustered = model.transform(df).drop(
+        "_ml_features_raw", "_ml_features"
+    ).localCheckpoint(eager=False)
 
     centers = model.stages[-1].clusterCenters()
     max_dist = 0.0
@@ -156,7 +163,9 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
         + (norm[1] - F.col("c_alt")) * (norm[1] - F.col("c_alt"))
         + (norm[2] - F.col("c_vr")) * (norm[2] - F.col("c_vr"))
     )
-    scored = with_centroid.withColumn("_dist_to_centroid", dist).cache()
+    scored = with_centroid.withColumn("_dist_to_centroid", dist).localCheckpoint(
+        eager=False
+    )
 
     # M7: μ + 2σ dynamic threshold (sample stddev, like the reference).
     st = scored.select(

@@ -29,7 +29,15 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     cluster with many input splits this is a near-no-op
     rebalancing."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        # File count from the scan's listing — no .rdd conversion
+        # (which builds a whole Python-deserializer plan just to read
+        # a partition count). Non-file-backed plans report [] and
+        # take the repartition, which is the safe default for them.
+        n_inputs = len(df.inputFiles())
+    except Exception:
+        n_inputs = 0
+    if n_inputs >= target:
         return df
     return df.repartition(target, F.col(id_col))
 
@@ -277,9 +285,21 @@ def simhash_neardup_pairs(
     ``max_hamming``. Same candidate-then-verify shape as MinHash-LSH,
     shuffles keyed on band values.
     """
+    if max_hamming >= n_bands:
+        # Pigeonhole only guarantees a shared band for distance <
+        # n_bands; beyond that the blocking silently loses recall.
+        raise ValueError(
+            f"max_hamming={max_hamming} requires n_bands > max_hamming "
+            f"(got n_bands={n_bands}): banded blocking only has full "
+            f"recall for Hamming distance < n_bands"
+        )
     band_width = n_bits // n_bands
     mask = (1 << band_width) - 1
-    sigs = signatures.cache()
+    # localCheckpoint, not cache(): the three downstream uses (band
+    # explode + both verify sides) share one materialization, and the
+    # blocks are released by the ContextCleaner when the result frame
+    # is dropped — cache() entries would pin the CacheManager forever.
+    sigs = signatures.localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.concat_ws(

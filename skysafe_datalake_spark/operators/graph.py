@@ -71,6 +71,7 @@ def connected_components(
     ).localCheckpoint()
     total = labels.agg(F.sum("cluster_id")).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -90,9 +91,20 @@ def connected_components(
         )
         new_total = labels.agg(F.sum("cluster_id")).first()[0]
         if new_total == total:
+            converged = True
             break
         total = new_total
     sym.unpersist()
+    if not converged:
+        # Silently returning would hand downstream dedup WRONG cluster
+        # labels with nothing pointing at non-convergence. Components
+        # with diameter > max_iter need a larger budget or the
+        # O(log²n) star variant.
+        raise RuntimeError(
+            f"connected_components did not reach its fixpoint within "
+            f"max_iter={max_iter} rounds; raise max_iter or use "
+            f"connected_components_star for high-diameter graphs"
+        )
     return labels
 
 
@@ -171,8 +183,10 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         if cur.isEmpty():
+            converged = True
             break
         # ── large-star ──
         sym = _symmetrize(cur)
@@ -207,8 +221,15 @@ def connected_components_star(
         cur = small
         cs = _edge_checksum(cur)
         if cs == prev_sum:
+            converged = True
             break
         prev_sum = cs
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach its fixpoint "
+            f"within max_iter={max_iter} rounds (checksum still "
+            f"moving); raise max_iter"
+        )
 
     # At fixpoint every edge points node -> component root (min id).
     root = (

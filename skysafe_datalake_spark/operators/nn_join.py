@@ -59,8 +59,9 @@ def nearest_neighbor_join(
     tie_breakers : right-side columns appended to the ordering for a
         total (deterministic) order.
     rank_name : if set, keep the 1-based neighbour rank under this
-        column name (window strategy only; with k=1 argmin the rank
-        is trivially 1).
+        column name. On the k=1 argmin path the rank is trivially 1
+        and is emitted as a literal so downstream projections work
+        identically under either strategy.
     """
     right_in = F.broadcast(right) if broadcast_right else right
     joined = left.crossJoin(right_in).withColumn(distance_name, distance)
@@ -82,7 +83,12 @@ def nearest_neighbor_join(
             ).alias("_s"),
         )
         best = ordered.groupBy(*partition_by).agg(F.min("_s").alias("_m"))
-        return best.select(*partition_by, *[F.col(f"_m._row.{c}").alias(c) for c in payload])
+        out = best.select(
+            *partition_by, *[F.col(f"_m._row.{c}").alias(c) for c in payload]
+        )
+        if rank_name is not None:
+            out = out.withColumn(rank_name, F.lit(1).cast("int"))
+        return out
 
     w = Window.partitionBy(*partition_by).orderBy(
         rank_on.asc(), *[F.col(c).asc() for c in tie_breakers]

@@ -64,41 +64,16 @@ def cosine_topk(
     )
 
 
-def block_neardup_pairs(
-    emb: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec: str = "embedding",
-    threshold: float = 0.3,
-    round_digits: int = 4,
+def _gemm_block_pairs(
+    left: DataFrame, bc, id_col: str, vec: str, threshold: float, scale: float
 ) -> DataFrame:
-    """All-pairs cosine near-dup via block matrix multiplication.
-
-    The right side is collected once and broadcast as a dense
-    normalized numpy matrix (same memory contract as a broadcast hash
-    join: it must fit on each executor — ~0.5 GB per million 64-dim
-    vectors); the left side streams through ``mapInPandas``, and each
-    Arrow batch computes one GEMM block ``A_norm @ B_normᵀ`` (BLAS)
-    instead of |A|·|B| interpreted per-pair expressions — three
-    orders of magnitude faster than higher-order-function dot
-    products. For corpora whose matrix cannot be broadcast, bucket
-    with :func:`lsh_bucket_candidates` first or tile the right side.
-
-    Emits (a_id, b_id, cosine) for a_id < b_id and cosine > threshold.
-    """
+    """mapInPandas GEMM stage: each Arrow batch of ``left`` is scored
+    against the broadcast normalized matrix ``bc = (ids, mat)``;
+    emits (a_id, b_id, cosine) with a_id < b_id above threshold."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
-
-    spark = emb.sparkSession
-    rows = emb.select(id_col, vec).collect()
-    ids = np.array([r[0] for r in rows], dtype="int64")
-    mat = np.array([r[1] for r in rows], dtype="float64")
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    bc = spark.sparkContext.broadcast((ids, mat / norms[:, None]))
-    scale = float(10**round_digits)
 
     def blocks(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         b_ids, b_mat = bc.value
@@ -119,9 +94,94 @@ def block_neardup_pairs(
                 }
             )
 
-    return emb.select(id_col, vec).mapInPandas(
+    return left.select(id_col, vec).mapInPandas(
         blocks, schema="a_id long, b_id long, cosine double"
     )
+
+
+def _collect_normalized(df: DataFrame, id_col: str, vec: str):
+    import numpy as np
+
+    rows = df.select(id_col, vec).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def block_neardup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 4,
+    strategy: str = "auto",
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """All-pairs cosine near-dup via block matrix multiplication.
+
+    Strategies (``auto`` counts the corpus and picks):
+
+    ``gemm`` (corpus ≤ ``max_broadcast_rows``)
+        The whole corpus is collected once and broadcast as a dense
+        normalized numpy matrix (same memory contract as a broadcast
+        hash join: ~0.5 GB per million 64-dim vectors); the left side
+        streams through ``mapInPandas`` and each Arrow batch computes
+        one BLAS GEMM block ``A_norm @ B_normᵀ`` instead of |A|·|B|
+        interpreted per-pair expressions.
+
+    ``tiled`` (anything larger)
+        The corpus is hash-split into ⌈n / max_broadcast_rows⌉ tiles;
+        each pass broadcasts ONE tile and GEMMs the full corpus
+        against it. Driver/executor memory stays bounded by the tile
+        while the result is still the exact all-pairs answer (each
+        unordered pair is produced exactly once, in the tile owning
+        its larger id). Work remains inherently O(n²/batch) — at true
+        100 TB scale use the sub-quadratic candidate generators
+        (:func:`lsh_bucket_candidates`, simhash/minhash in
+        ``operators.dedup``) and keep this as their exact verifier.
+
+    Emits (a_id, b_id, cosine) for a_id < b_id and cosine > threshold.
+    """
+    spark = emb.sparkSession
+    scale = float(10**round_digits)
+
+    if strategy == "auto":
+        n = emb.count()
+        strategy = "gemm" if n <= max_broadcast_rows else "tiled"
+
+    if strategy == "gemm":
+        bc = spark.sparkContext.broadcast(
+            _collect_normalized(emb, id_col, vec)
+        )
+        return _gemm_block_pairs(emb, bc, id_col, vec, threshold, scale)
+
+    if strategy != "tiled":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    n = emb.count()
+    n_tiles = max(1, -(-n // max_broadcast_rows))
+    tiles = emb.withColumn(
+        "_tile", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)).cast("int")
+    )
+    out = None
+    for t in range(n_tiles):
+        tile_df = tiles.filter(F.col("_tile") == t).drop("_tile")
+        bc = spark.sparkContext.broadcast(
+            _collect_normalized(tile_df, id_col, vec)
+        )
+        # Materialize this pass before moving on so only ONE tile's
+        # broadcast is ever live — a lazy union would pin all tiles
+        # in memory at once, recreating the unbounded-broadcast bug
+        # this strategy exists to prevent.
+        part = _gemm_block_pairs(
+            emb, bc, id_col, vec, threshold, scale
+        ).localCheckpoint(eager=True)
+        bc.unpersist()
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:

@@ -1,0 +1,142 @@
+"""End-to-end batch pipeline: extract → format → combine → usage,
+through the medallion catalog — the engine-native equivalent of the
+reference DAG (``/root/reference/dags/sky_safe_dag.py:27-74``):
+
+    extract_flights_api ─► format_flights_spark ─┐
+                                                 ├─► combine_data_spark ─► index_to_elastic
+    extract_weather_api ─► format_weather_spark ─┘
+
+Each stage reads its input layer back from the catalog (real layer
+boundaries, like the reference's per-task processes) and writes the
+next layer as partitioned parquet. The serving stage is the usage
+projection + keyed upsert (``plans.usage``); a distributed ES sink
+attaches there via ``streaming.es_sink`` when the connector jar is
+present.
+
+Scale notes: every stage is a single declarative plan — formatting is
+shuffle-free (explode + casts), combine's only exchanges are the NN
+argmin combine and the ML stage's global aggregations, and each layer
+write is dynamic-partition-overwrite (idempotent minute re-runs touch
+one partition). Layer row counts are optional (``with_counts``) —
+they are full actions, telemetry only (the reference counts
+unconditionally and recomputes lineage each time, §4 anti-pattern).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import SparkSession
+
+from skysafe_datalake_spark.catalog import LakeCatalog
+from skysafe_datalake_spark.ml.phase_kmeans import PhaseModelInfo
+from skysafe_datalake_spark.plans.combine import combine_enrich
+from skysafe_datalake_spark.plans.usage import build_usage
+from skysafe_datalake_spark.sources import ingest, openmeteo, opensky
+
+
+@dataclass
+class BatchRunResult:
+    raw_flights_path: str
+    raw_weather_path: str
+    formatted_flights_path: str
+    formatted_weather_path: str
+    enriched_path: str
+    usage_path: str
+    model_info: PhaseModelInfo
+    counts: dict[str, int]
+
+
+def format_flights_stage(
+    spark: SparkSession, catalog: LakeCatalog, *, ts: datetime | None = None
+) -> str:
+    """Raw snapshot JSON → typed flights table (reference
+    ``src/format_flights.py:43-171``, task 'format_flights_spark')."""
+    raw = catalog.read_latest(
+        spark, "raw", "opensky", "flights", fmt="json", schema=opensky.RAW_SCHEMA
+    )
+    flights = opensky.format_flights(raw.drop("date", "hour"))
+    return catalog.write(flights, "formatted", "opensky", "flights", ts=ts)
+
+
+def format_weather_stage(
+    spark: SparkSession, catalog: LakeCatalog, *, ts: datetime | None = None
+) -> str:
+    """Raw per-station JSON → typed weather table (reference
+    ``src/format_weather.py:6-60``, task 'format_weather_spark')."""
+    raw = catalog.read_latest(
+        spark, "raw", "open_meteo", "weather", fmt="json", schema=openmeteo.RAW_SCHEMA
+    )
+    weather = openmeteo.format_weather(raw.drop("date", "hour"))
+    return catalog.write(weather, "formatted", "open_meteo", "weather", ts=ts)
+
+
+def combine_stage(
+    spark: SparkSession, catalog: LakeCatalog, *, ts: datetime | None = None
+) -> tuple[str, PhaseModelInfo]:
+    """Formatted flights × weather → enriched layer (reference
+    ``src/combine_spark.py:60-400``, task 'combine_data_spark')."""
+    flights = catalog.read_latest(spark, "formatted", "opensky", "flights").drop(
+        "date", "hour"
+    )
+    weather = catalog.read_latest(spark, "formatted", "open_meteo", "weather").drop(
+        "date", "hour"
+    )
+    enriched, info = combine_enrich(flights, weather)
+    path = catalog.write(enriched, "enriched", "skysafe", "flights", ts=ts)
+    return path, info
+
+
+def usage_stage(
+    spark: SparkSession, catalog: LakeCatalog, *, ts: datetime | None = None
+) -> str:
+    """Enriched → usage (serving) layer: wide projection + keyed
+    upsert + geo struct (reference ``src/index_elastic.py:88-158``,
+    task 'index_to_elastic' minus the ES HTTP hop)."""
+    enriched = catalog.read_latest(spark, "enriched", "skysafe", "flights").drop(
+        "date", "hour"
+    )
+    usage = build_usage(enriched)
+    return catalog.write(usage, "usage", "skysafe", "flights", ts=ts)
+
+
+def run_batch_pipeline(
+    spark: SparkSession,
+    catalog: LakeCatalog,
+    flights_client: ingest.OpenSkyClient,
+    weather_client: ingest.OpenMeteoClient,
+    *,
+    ts: datetime | None = None,
+    weather_points=None,
+    with_counts: bool = False,
+) -> BatchRunResult:
+    """One minute-cadence run of the full DAG, all four layers."""
+    raw_f = ingest.extract_flights(spark, catalog, flights_client, ts=ts)
+    raw_w = ingest.extract_weather(
+        spark, catalog, weather_client, points=weather_points, ts=ts
+    )
+    fmt_f = format_flights_stage(spark, catalog, ts=ts)
+    fmt_w = format_weather_stage(spark, catalog, ts=ts)
+    enr, info = combine_stage(spark, catalog, ts=ts)
+    usage = usage_stage(spark, catalog, ts=ts)
+
+    counts: dict[str, int] = {}
+    if with_counts:
+        for name, (layer, source, entity) in {
+            "formatted_flights": ("formatted", "opensky", "flights"),
+            "formatted_weather": ("formatted", "open_meteo", "weather"),
+            "enriched": ("enriched", "skysafe", "flights"),
+            "usage": ("usage", "skysafe", "flights"),
+        }.items():
+            counts[name] = catalog.read_latest(spark, layer, source, entity).count()
+    return BatchRunResult(
+        raw_flights_path=raw_f,
+        raw_weather_path=raw_w,
+        formatted_flights_path=fmt_f,
+        formatted_weather_path=fmt_w,
+        enriched_path=enr,
+        usage_path=usage,
+        model_info=info,
+        counts=counts,
+    )

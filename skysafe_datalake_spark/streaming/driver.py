@@ -23,36 +23,13 @@ the capability the reference lacks outright.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from skysafe_datalake_spark.plans.combine import combine_enrich
-from skysafe_datalake_spark.plans.usage import build_usage
+from skysafe_datalake_spark.plans.usage import build_usage, upsert_partitioned
 from skysafe_datalake_spark.sources import opensky
-
-
-def _upsert_usage(batch_usage: DataFrame, usage_dir: str) -> None:
-    """MERGE-equivalent for a plain-parquet lake: union new batch
-    with existing state, keep newest row per key, atomically swap.
-    With Delta/Iceberg this becomes a real ``MERGE INTO`` — the
-    surrounding topology is unchanged."""
-    from skysafe_datalake_spark.plans.usage import latest_per_key
-
-    spark = batch_usage.sparkSession
-    if os.path.isdir(usage_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(usage_dir)
-    ):
-        existing = spark.read.parquet(usage_dir)
-        merged = latest_per_key(existing.unionByName(batch_usage))
-    else:
-        merged = batch_usage
-    tmp = usage_dir.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(usage_dir)
 
 
 def run_flights_stream(
@@ -64,12 +41,18 @@ def run_flights_stream(
     *,
     trigger_seconds: int | None = 60,
     available_now: bool = False,
+    n_buckets: int = 64,
 ) -> StreamingQuery:
     """Raw OpenSky snapshots (JSON files) → enriched usage table,
     once per trigger (the reference's 1-minute cadence).
 
     ``available_now=True`` processes the current backlog and stops —
     the batch-catchup mode (and what tests use).
+
+    The sink is a hash-bucketed keyed-upsert table
+    (:func:`~skysafe_datalake_spark.plans.usage.upsert_partitioned`):
+    each micro-batch rewrites only the key buckets it touches, so
+    per-minute work is O(batch keys), not O(table).
     """
     raw_stream = (
         spark.readStream.schema(opensky.RAW_SCHEMA)
@@ -82,7 +65,9 @@ def run_flights_stream(
             return
         flights = opensky.format_flights(raw_batch)
         enriched, _info = combine_enrich(flights, weather)
-        _upsert_usage(build_usage(enriched), usage_dir)
+        upsert_partitioned(
+            build_usage(enriched), usage_dir, n_buckets=n_buckets
+        )
 
     writer = raw_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -127,28 +112,33 @@ def sessionize_stream(
             last_us, last_idx = state.get
         else:
             last_us, last_idx = None, 0
-        chunks = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            idxs = []
-            for t in us:
-                if last_us is None or (t - last_us) > gap_seconds * 1_000_000:
-                    last_idx += 1
-                last_us = int(t)
-                idxs.append(last_idx)
-            chunks.append(
-                pd.DataFrame(
-                    {
-                        "user_id": user_id,
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "ts": pdf["ts"].to_numpy(),
-                        "session_idx": idxs,
-                    }
-                )
-            )
+        # A key's micro-batch rows can span several Arrow chunks
+        # (arrow.maxRecordsPerBatch) with no cross-chunk time order;
+        # sorting chunks independently would number sessions wrongly.
+        # Materialize the key's whole batch and sort ONCE — per-key
+        # batch size is the state contract here, and a single key's
+        # events-per-minute is dimension-sized in this domain.
+        chunks = list(pdfs)
+        if not chunks:  # timeout invocation carries no data
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        idxs = []
+        for t in us:
+            if last_us is None or (t - last_us) > gap_seconds * 1_000_000:
+                last_idx += 1
+            last_us = int(t)
+            idxs.append(last_idx)
         state.update((last_us, last_idx))
-        yield from chunks
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "session_idx": idxs,
+            }
+        )
 
     return (
         events.select("user_id", "event_id", "ts")

@@ -20,6 +20,7 @@ from skysafe_datalake_spark.workload.tables import (
     SYNTHETIC_FLIGHTS_SQL,
     load,
     stations_df,
+    stations_weather_df,
     synthetic_flights,
 )
 
@@ -224,22 +225,7 @@ def skysafe_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "velocity",
         "vertical_rate",
     )
-    weather = stations_df(spark).select(
-        F.col("s_lat").alias("latitude"),
-        F.col("s_lon").alias("longitude"),
-        F.lit(100.0).alias("elevation"),
-        F.to_timestamp(F.lit("2026-02-26 14:00:00")).alias("weather_time"),
-        F.lit(10.0).alias("temperature_2m"),
-        F.lit(60).alias("relative_humidity_2m"),
-        F.lit(20.0).alias("wind_speed_10m"),
-        F.lit(200.0).alias("wind_direction_10m"),
-        F.col("wind_gusts_10m"),
-        F.col("precipitation"),
-        F.col("precipitation").alias("rain"),
-        F.col("cloud_cover"),
-        F.col("weather_code"),
-        F.col("visibility"),
-    )
+    weather = stations_weather_df(spark)
     enriched, _info = combine_enrich(flights, weather)
     return enriched.select(
         "icao24",

@@ -493,17 +493,69 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_byte_features")  # no SQL oracle: mapInPandas stage
+_BYTE_HIST_SQL = ", ".join(
+    f"coalesce(SUM(CASE WHEN byte % 8 = {k} THEN c END), 0)" for k in range(8)
+)
+
+
+@register(
+    "multimodal_byte_features",
+    f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, n),
+                i -> CAST(concat('0x', substr(hx, 2*i-1, 2)) AS INT))) AS byte
+  FROM b
+),
+counts AS (
+  SELECT doc_id, n, byte, count(*) AS c
+  FROM bytes GROUP BY doc_id, n, byte
+)
+SELECT doc_id AS item_id, n AS n_bytes,
+       floor(SUM(byte * c) * 1.0 / n * 10000.0 + 0.5) / 10000.0 AS byte_mean_r,
+       floor(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)) * 10000.0 + 0.5) / 10000.0
+         AS byte_entropy_r,
+       array_to_string([{_BYTE_HIST_SQL}], ',') AS hist_csv
+FROM counts GROUP BY doc_id, n
+""",
+)
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (mapInPandas) feature extraction over binary
     payloads — the real multimodal plumbing with the decode kernel
     stubbed to deterministic byte statistics (codecs not in this
-    container; see operators/multimodal.py)."""
+    container; see operators/multimodal.py).
+
+    The oracle recomputes the byte statistics relationally from the
+    hex encoding, so the mapInPandas stage is fully hash-checked.
+    ``feature_vec`` (fractions) is rescaled back to exact integer
+    counts for the CSV so no cross-engine float formatting is
+    involved; the two float stats are portably rounded doubles.
+    Assumes non-empty payloads (true of the documents fixture) —
+    empty docs would drop out of the byte-count oracle but not the
+    Python stub."""
     docs = load(spark, sf_dir, "documents")
     with_media = docs.select(
         F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "utf-8").alias("media")
     )
-    return MM.extract_media_features(with_media, decode_stub=True)
+    feats = MM.extract_media_features(with_media, decode_stub=True)
+    n = F.col("n_bytes")
+    return feats.select(
+        "item_id",
+        "n_bytes",
+        pround(F.col("byte_mean"), 4).alias("byte_mean_r"),
+        pround(F.col("byte_entropy"), 4).alias("byte_entropy_r"),
+        F.array_join(
+            F.transform(
+                F.col("feature_vec"),
+                lambda x: F.round(x * n).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("hist_csv"),
+    )
 
 
 # ─────────────────────── dataset management ──────────────────────
@@ -703,7 +755,7 @@ q AS (
   FROM scaled
 )
 SELECT vec_id,
-       qvec,
+       array_to_string(qvec, ',') AS qvec_csv,
        floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale_r,
        floor(list_max(list_transform(generate_series(1, len(vec)),
                                      i -> abs(vec[i] - qvec[i] / scale)))
@@ -737,9 +789,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, qx: F.abs(x - qx.cast("double") / F.col("scale")),
         )
     )
+    # qvec serialized to CSV so the external gate's canonicalizer (a
+    # pandas sort + hash, which cannot hash list cells) can check the
+    # values; int components make the text form exact on both engines.
     return q.select(
         "vec_id",
-        "qvec",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
         pround(F.col("scale"), 6).alias("scale_r"),
         pround(err, 6).alias("max_abs_err"),
     )

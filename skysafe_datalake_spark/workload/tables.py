@@ -27,14 +27,18 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ts is TIMESTAMP(NANOS) parquet, which Spark rejects unless
-        # surfaced as a nanos-since-epoch long; set the conf here too
-        # so entry points also work on caller-provided sessions.
+        # The driver has shipped events.ts as TIMESTAMP(NANOS) (which
+        # Spark only reads as a nanos-since-epoch long, via the legacy
+        # conf) and as TIMESTAMP(MICROS) without timezone (read as
+        # TIMESTAMP_NTZ). Normalize either to a session-TZ TIMESTAMP
+        # at microsecond precision — identical to what DuckDB's
+        # CAST(ts AS TIMESTAMP) yields on the same file.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Truncate to micros — the same truncation DuckDB applies on
-        # CAST(ts AS TIMESTAMP).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos-as-long → truncate to micros
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -95,6 +99,28 @@ STATIONS_CTE = (
 
 def stations_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(STATIONS, STATIONS_SCHEMA)
+
+
+def stations_weather_df(spark: SparkSession) -> DataFrame:
+    """STATIONS fixture widened to the full formatted-weather schema
+    (constant filler for the non-risk variables) — the weather side
+    expected by plans.combine.combine_enrich."""
+    return stations_df(spark).select(
+        F.col("s_lat").alias("latitude"),
+        F.col("s_lon").alias("longitude"),
+        F.lit(100.0).alias("elevation"),
+        F.to_timestamp(F.lit("2026-02-26 14:00:00")).alias("weather_time"),
+        F.lit(10.0).alias("temperature_2m"),
+        F.lit(60).alias("relative_humidity_2m"),
+        F.lit(20.0).alias("wind_speed_10m"),
+        F.lit(200.0).alias("wind_direction_10m"),
+        F.col("wind_gusts_10m"),
+        F.col("precipitation"),
+        F.col("precipitation").alias("rain"),
+        F.col("cloud_cover"),
+        F.col("weather_code"),
+        F.col("visibility"),
+    )
 
 
 def synthetic_flights(events: DataFrame) -> DataFrame:

@@ -116,3 +116,30 @@ def test_star_contraction_handles_long_chain(spark):
     }
     want = {(i, 0) for i in range(64)} | {(100, 100), (101, 100), (999, 999)}
     assert got == want
+
+
+def test_connected_components_raises_on_max_iter_exhaustion(spark):
+    """A chain with diameter > max_iter must fail loudly, not return
+    partially-propagated (wrong) labels (ADVICE round 1)."""
+    import pytest
+
+    from skysafe_datalake_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_iter=3)
+    # with budget it converges fine
+    ok = connected_components(chain, max_iter=15)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}
+
+
+def test_simhash_pairs_guard_rejects_unreachable_hamming(spark):
+    import pytest
+
+    from skysafe_datalake_spark.operators.dedup import simhash_neardup_pairs
+
+    sigs = spark.createDataFrame([(1, 3), (2, 5)], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="n_bands"):
+        simhash_neardup_pairs(sigs, "doc_id", n_bands=4, max_hamming=4)

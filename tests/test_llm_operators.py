@@ -176,3 +176,27 @@ def test_lang_id_heuristic(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r["id"]: r["p"] for r in df.select("id", T.lang_id(F.col("text")).alias("p")).collect()}
     assert out == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "und"}
+
+
+def test_block_neardup_tiled_matches_gemm(spark):
+    """The guarded fallback (tiled passes, bounded broadcast) must
+    produce exactly the pairs of the single-broadcast GEMM path —
+    the VERDICT #3 contract: no unconditional full-corpus collect,
+    no result drift when the guard reroutes."""
+    from skysafe_datalake_spark.operators.similarity import block_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def pairs(df):
+        return {(r["a_id"], r["b_id"], r["cosine"]) for r in df.collect()}
+
+    gemm = pairs(block_neardup_pairs(emb, strategy="gemm"))
+    tiled = pairs(
+        block_neardup_pairs(emb, strategy="tiled", max_broadcast_rows=17)
+    )
+    assert len(gemm) > 0
+    assert tiled == gemm
+
+    # auto with a tiny budget must take the tiled route and still agree
+    auto = pairs(block_neardup_pairs(emb, max_broadcast_rows=17))
+    assert auto == gemm

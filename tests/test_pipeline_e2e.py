@@ -1,0 +1,232 @@
+"""End-to-end batch pipeline tests: fixture-fed fetchers (the real
+OAuth2/token/tolerance code paths, transport swapped), all four
+medallion layers materialized through the catalog, and the bucketed
+keyed-upsert sink's partition-pruning contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.catalog import LakeCatalog
+from skysafe_datalake_spark.plans.pipeline import run_batch_pipeline
+from skysafe_datalake_spark.plans.usage import build_usage, upsert_partitioned
+from skysafe_datalake_spark.sources import ingest
+from skysafe_datalake_spark.workload.pipeline import (
+    FIXTURE_TS,
+    fixture_clients,
+    fixture_transport,
+    states_payload,
+    weather_payload,
+)
+from skysafe_datalake_spark.workload.tables import STATIONS
+
+
+def _rows(n=40):
+    # synthetic_flights-shaped dicts without needing the events table
+    out = []
+    for i in range(1, n + 1):
+        out.append(
+            {
+                "flight_id": i,
+                "lat": 41.3 + (i % 981) / 100.0,
+                "lon": -5.1 + ((i * 7) % 1471) / 100.0,
+                "baro_altitude": float((i * 13) % 13000),
+                "on_ground": i % 10 == 0,
+                "velocity": 100.0 + i,
+                "vertical_rate": float((i % 41) - 20),
+            }
+        )
+    return out
+
+
+# ───────────────────────── fetcher contracts ──────────────────────
+
+
+def test_opensky_token_flow_is_enforced():
+    doc = states_payload(_rows(3))
+    transport = fixture_transport(doc, {})
+    client = ingest.OpenSkyClient(transport, client_id="fixture", client_secret="s")
+    payload = client.fetch_states()
+    assert len(payload["states"]) == 3
+    assert "_extracted_at" in payload
+
+    # a transport that refuses the token must fail the fetch
+    def no_token(method, url, **kw):
+        if url == ingest.OPENSKY_TOKEN_URL:
+            raise ingest.HttpError("500")
+        return transport(method, url, **kw)
+
+    bad = ingest.OpenSkyClient(no_token, client_id="fixture", client_secret="s")
+    with pytest.raises(ingest.HttpError):
+        bad.fetch_states()
+
+
+def test_opensky_proxy_path_and_none_payload():
+    calls = []
+
+    def proxy_transport(method, url, *, json_body=None, **kw):
+        calls.append((method, url, json_body))
+        return {"time": 1, "states": []}
+
+    client = ingest.OpenSkyClient(proxy_transport, proxy_url="https://proxy.test/")
+    client.fetch_states()
+    method, url, body = calls[0]
+    assert (method, url) == ("POST", "https://proxy.test/")
+    assert body == {"bounding_box": list(ingest.FRANCE_BBOX)}
+
+    none_client = ingest.OpenSkyClient(
+        lambda *a, **k: None, proxy_url="https://proxy.test/"
+    )
+    with pytest.raises(ingest.IngestError):
+        none_client.fetch_states()
+
+
+def test_weather_per_point_error_tolerance():
+    """One dead station is skipped, the batch succeeds with the other
+    five (reference extract_weather.py:78-85 semantics)."""
+    weather_by_point = {(s[1], s[2]): weather_payload(s) for s in STATIONS[1:]}
+    transport = fixture_transport({"states": []}, weather_by_point)
+    client = ingest.OpenMeteoClient(transport)
+    results = client.fetch_all()
+    assert len(results) == 5
+    assert all("_extracted_at" in r for r in results)
+
+
+# ─────────────────────── end-to-end pipeline ──────────────────────
+
+
+def test_batch_pipeline_materializes_all_layers(spark, tmp_path):
+    flights_client, weather_client = fixture_clients(states_payload(_rows(60)))
+    cat = LakeCatalog(str(tmp_path / "lake"))
+    result = run_batch_pipeline(
+        spark, cat, flights_client, weather_client, ts=FIXTURE_TS, with_counts=True
+    )
+    assert result.counts["formatted_flights"] == 60
+    assert result.counts["formatted_weather"] == 6
+    assert result.counts["enriched"] == 60
+    assert result.counts["usage"] == 60
+
+    # raw layer holds the verbatim payload documents
+    raw = cat.read_latest(spark, "raw", "opensky", "flights", fmt="text")
+    assert raw.count() == 1 and raw.first()["value"].startswith("{")
+
+    # usage layer == build_usage applied to the formatted layers
+    flights = cat.read_latest(spark, "formatted", "opensky", "flights").drop(
+        "date", "hour"
+    )
+    weather = cat.read_latest(spark, "formatted", "open_meteo", "weather").drop(
+        "date", "hour"
+    )
+    from skysafe_datalake_spark.plans.combine import combine_enrich
+
+    enriched, _ = combine_enrich(flights, weather)
+    expected = {
+        (r["icao24"], r["risk_score"], r["risk_category"], round(r["dist_km"], 6))
+        for r in build_usage(enriched)
+        .select("icao24", "risk_score", "risk_category", "dist_km")
+        .collect()
+    }
+    usage = cat.read_latest(spark, "usage", "skysafe", "flights")
+    got = {
+        (r["icao24"], r["risk_score"], r["risk_category"], round(r["dist_km"], 6))
+        for r in usage.select(
+            "icao24", "risk_score", "risk_category", "dist_km"
+        ).collect()
+    }
+    assert got == expected
+
+    # partition pruning survives the pipeline: latest-read plans carry
+    # the partition predicate, not a full-table scan
+    plan = usage._jdf.queryExecution().executedPlan().toString()
+    assert "date=2026-02-26" in plan or "PartitionFilters" in plan
+
+
+# ───────────────────── bucketed upsert contract ───────────────────
+
+
+def _bucket_files(table_dir):
+    out = {}
+    for d in os.listdir(table_dir):
+        if d.startswith("kb="):
+            full = os.path.join(table_dir, d)
+            out[d] = {
+                f: os.path.getmtime(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    table = str(tmp_path / "usage")
+    base = spark.createDataFrame(
+        [(f"k{i}", f"2026-01-01T00:0{i % 10}:00", i) for i in range(20)],
+        "icao24 string, ts_str string, v int",
+    ).withColumn("extracted_at", F.to_timestamp("ts_str")).drop("ts_str")
+    upsert_partitioned(base, table, n_buckets=4)
+    before = _bucket_files(table)
+    assert len(before) >= 2  # keys spread over multiple buckets
+
+    batch = spark.createDataFrame(
+        [("k3", "2026-01-01T01:00:00", 999)],
+        "icao24 string, ts_str string, v int",
+    ).withColumn("extracted_at", F.to_timestamp("ts_str")).drop("ts_str")
+    upsert_partitioned(batch, table, n_buckets=4)
+    after = _bucket_files(table)
+
+    (touched_kb,) = [
+        r["kb"]
+        for r in batch.withColumn(
+            "kb", F.pmod(F.xxhash64("icao24"), F.lit(4)).cast("int")
+        )
+        .select("kb")
+        .distinct()
+        .collect()
+    ]
+    for kb_dir, files in before.items():
+        if kb_dir == f"kb={touched_kb}":
+            assert after[kb_dir] != files, "touched bucket must be rewritten"
+        else:
+            assert after[kb_dir] == files, f"untouched {kb_dir} was rewritten"
+
+    # merge semantics: newer row won, all other keys intact
+    final = spark.read.parquet(table)
+    assert final.count() == 20
+    assert final.filter(F.col("icao24") == "k3").first()["v"] == 999
+
+
+def test_upsert_dedupes_within_first_batch(spark, tmp_path):
+    table = str(tmp_path / "usage")
+    df = spark.createDataFrame(
+        [("a", "2026-01-01T00:00:00", 1), ("a", "2026-01-01T00:05:00", 2)],
+        "icao24 string, ts_str string, v int",
+    ).withColumn("extracted_at", F.to_timestamp("ts_str")).drop("ts_str")
+    upsert_partitioned(df, table, n_buckets=2)
+    out = spark.read.parquet(table)
+    assert out.count() == 1
+    assert out.first()["v"] == 2
+
+
+def test_es_sink_contract_without_connector(spark):
+    """Serving-boundary stub: the mapping contract is complete and the
+    sink fails with a clear signal when the es-hadoop jar is absent
+    (it is, in this container)."""
+    from skysafe_datalake_spark.streaming import es_sink
+
+    opts = es_sink.es_write_options(index="idx")
+    assert opts["es.mapping.id"] == "icao24"
+    assert opts["es.write.operation"] == "upsert"
+    props = es_sink.INDEX_MAPPING["mappings"]["properties"]
+    assert props["location"] == {"type": "geo_point"}
+    assert set(props) >= {
+        "icao24", "risk_score", "risk_category", "flight_phase",
+        "is_anomaly", "anomaly_score", "extracted_at",
+    }
+
+    df = spark.createDataFrame([("a",)], "icao24 string")
+    assert not es_sink.es_available(spark)
+    with pytest.raises(es_sink.EsSinkUnavailable):
+        es_sink.write_batch_to_es(df, opts)
