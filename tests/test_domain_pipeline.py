@@ -352,3 +352,36 @@ def test_catalog_json_and_csv_round_trip(spark, tmp_path):
         (r["id"], r["name"], r["score"])
         for r in got_csv.select("id", "name", "score").collect()
     } == {(1, "alpha", 1.5), (2, "beta", -3.25), (3, None, 0.0)}
+
+
+def test_ml_pipeline_golden_snapshot_sf001(spark):
+    """Golden-snapshot pin for the K-Means path (VERDICT.md #6): the
+    full ML stage at sf0.01 (seed 42, fixed input, fixed local[4]
+    session) is bit-deterministic — any drift in assembler/scaler/
+    KMeans/labeling/threshold changes this hash. Regenerate the
+    golden only for a *deliberate* semantic change.
+
+    The closed-form twin (`ml_rules_fallback`, oracle-checked by the
+    driver) covers the fallback path; this covers the clustering path
+    SQL can't express."""
+    import hashlib
+
+    from skysafe_datalake_spark.workload import QUERIES
+
+    df = QUERIES["skysafe_ml_pipeline"](spark, "/root/testdata/sf0.01")
+    cols = sorted(df.columns)
+    rows = sorted(
+        "|".join(repr(r[c]) if isinstance(r[c], float) else str(r[c]) for c in cols)
+        for r in df.collect()
+    )
+    digest = hashlib.md5(
+        ("\n".join(cols) + "\n" + "\n".join(rows)).encode()
+    ).hexdigest()
+
+    with open("tests/golden/skysafe_ml_pipeline_sf0.01.md5") as f:
+        golden = f.read().strip()
+    assert digest == golden
+
+    # diagnosable invariants alongside the hash
+    phases = {r.split("|")[2] for r in rows}  # cols sorted: ... flight_phase at idx 2
+    assert phases <= {"Takeoff / Landing", "Climb / Descent", "Cruise"}
