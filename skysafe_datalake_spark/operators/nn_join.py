@@ -33,6 +33,30 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _argmin(
+    joined: DataFrame,
+    partition_by: Sequence[str],
+    rank_on: Column,
+    tie_breakers: Sequence[str],
+) -> DataFrame:
+    """groupBy(keys).agg(min(struct(order, ties, payload))) — the
+    map-side-combining argmin reduction shared by the broadcast and
+    grid strategies. Shuffle carries ≤ 1 row per key per task."""
+    payload = [c for c in joined.columns if c not in partition_by]
+    ordered = joined.select(
+        *partition_by,
+        F.struct(
+            rank_on.alias("_ord"),
+            *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tie_breakers)],
+            F.struct(*payload).alias("_row"),
+        ).alias("_s"),
+    )
+    best = ordered.groupBy(*partition_by).agg(F.min("_s").alias("_m"))
+    return best.select(
+        *partition_by, *[F.col(f"_m._row.{c}").alias(c) for c in payload]
+    )
+
+
 def nearest_neighbor_join(
     left: DataFrame,
     right: DataFrame,
@@ -73,19 +97,7 @@ def nearest_neighbor_join(
     if strategy == "argmin":
         if k != 1:
             raise ValueError("argmin strategy supports only k=1")
-        payload = [c for c in joined.columns if c not in partition_by]
-        ordered = joined.select(
-            *partition_by,
-            F.struct(
-                rank_on.alias("_ord"),
-                *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tie_breakers)],
-                F.struct(*payload).alias("_row"),
-            ).alias("_s"),
-        )
-        best = ordered.groupBy(*partition_by).agg(F.min("_s").alias("_m"))
-        out = best.select(
-            *partition_by, *[F.col(f"_m._row.{c}").alias(c) for c in payload]
-        )
+        out = _argmin(joined, partition_by, rank_on, tie_breakers)
         if rank_name is not None:
             out = out.withColumn(rank_name, F.lit(1).cast("int"))
         return out
@@ -99,3 +111,68 @@ def nearest_neighbor_join(
     if rank_name is None:
         return ranked.drop("_nn_rank")
     return ranked.withColumnRenamed("_nn_rank", rank_name)
+
+
+def grid_nn_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    partition_by: Sequence[str],
+    left_lat: str,
+    left_lon: str,
+    right_lat: str,
+    right_lon: str,
+    distance: Column,
+    cell_deg: float,
+    ring: int = 2,
+    distance_name: str = "dist_km",
+    order_by: Column | None = None,
+    tie_breakers: Sequence[str] = (),
+) -> DataFrame:
+    """Nearest-neighbor join for right sides TOO LARGE TO BROADCAST:
+    grid-cell candidate equi-join instead of a cross join.
+
+    Both sides are bucketed into ``cell_deg``-degree grid cells; each
+    left row probes its own cell plus a ``ring``-cell neighborhood
+    ((2·ring+1)² probe keys, exploded map-side), candidates come from
+    a plain shuffled hash equi-join on (cell_x, cell_y), and the
+    per-key argmin reduces them with map-side partial combine. Total
+    shuffle: (2·ring+1)²·|left| probe rows + |right| — versus
+    |left|·|right| for the cross join. The right side can further be
+    WRITTEN bucketed by cell to make its side of the join
+    shuffle-free.
+
+    CORRECTNESS CONTRACT: the true nearest neighbor must lie within
+    the probed ring, i.e. every left point must have some candidate
+    at distance < the minimum possible distance to any out-of-ring
+    point (≥ ring·cell_deg along an axis). This holds whenever the
+    right side has at least one point in every cell of the domain
+    and ``ring >= 2`` (in-cell worst case ≈ 0.71·cell_deg <
+    2·cell_deg even after longitude cos-shrink up to ~60°). Left
+    rows with NO candidate in the ring are dropped — choose
+    cell_deg/ring from the right side's guaranteed density.
+    """
+    cx_l = F.floor(F.col(left_lat) / F.lit(cell_deg)).cast("long")
+    cy_l = F.floor(F.col(left_lon) / F.lit(cell_deg)).cast("long")
+    deltas = F.array(
+        *[F.lit(d) for d in range(-ring, ring + 1)]
+    )
+    probes = (
+        left.withColumn("_cx0", cx_l)
+        .withColumn("_cy0", cy_l)
+        .withColumn("_dx", F.explode(deltas))
+        .withColumn("_cx", F.col("_cx0") + F.col("_dx"))
+        .withColumn("_dy", F.explode(deltas))
+        .withColumn("_cy", F.col("_cy0") + F.col("_dy"))
+        .drop("_cx0", "_cy0", "_dx", "_dy")
+    )
+    cells_r = right.withColumn(
+        "_cx", F.floor(F.col(right_lat) / F.lit(cell_deg)).cast("long")
+    ).withColumn("_cy", F.floor(F.col(right_lon) / F.lit(cell_deg)).cast("long"))
+    joined = (
+        probes.join(cells_r, ["_cx", "_cy"])
+        .drop("_cx", "_cy")
+        .withColumn(distance_name, distance)
+    )
+    rank_on = order_by if order_by is not None else F.col(distance_name)
+    return _argmin(joined, partition_by, rank_on, tie_breakers)

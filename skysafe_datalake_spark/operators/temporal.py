@@ -113,3 +113,72 @@ def sessionize(
     gap_us = F.lit(int(gap_seconds) * 1_000_000)
     is_new = F.when(prev.isNull() | ((micros - prev) > gap_us), 1).otherwise(0)
     return events.withColumn("session_idx", F.sum(is_new).over(wsum).cast("int"))
+
+
+def scd2_build(
+    changes: DataFrame,
+    *,
+    key: str,
+    value: str,
+    ts: str,
+    seq: str,
+) -> DataFrame:
+    """Change stream → SCD Type-2 dimension history.
+
+    Each per-key change becomes a validity interval [valid_from,
+    valid_to) via ``lead`` over the (ts, seq)-ordered change sequence;
+    the open interval is flagged ``is_current`` and versions number
+    from 1. ``seq`` totally orders same-timestamp changes so the build
+    is deterministic (and re-runnable). One shuffle keyed on ``key``.
+
+    The ``seq`` column is kept in the output — it is what makes
+    :func:`scd2_merge` able to reconstruct the exact change order when
+    folding new batches in.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts, seq)
+    return changes.select(
+        F.col(key),
+        F.col(value).alias("attr_value"),
+        F.col(ts).alias("valid_from"),
+        F.col(seq).alias("change_seq"),
+        F.lead(ts).over(w).alias("valid_to"),
+        F.lead(ts).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+def scd2_merge(
+    history: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str,
+    value: str,
+    ts: str,
+    seq: str,
+) -> DataFrame:
+    """MERGE a change batch into an existing SCD2 history — the
+    incremental twin of :func:`scd2_build`, with the associativity
+    guarantee ``merge(build(A), B) == build(A ∪ B)``.
+
+    Scale shape mirrors the bucketed keyed upsert: keys untouched by
+    the batch pass through without being read beyond the anti-join
+    probe; only the touched keys' interval chains are reconstructed
+    (their history rows reduced back to change events, unioned with
+    the batch, re-sequenced). Work is O(touched history + batch), not
+    O(history) — with the history table partitioned by key-bucket the
+    anti/semi joins prune to touched buckets exactly like
+    ``plans.usage.upsert_partitioned``.
+    """
+    affected = changes.select(F.col(key)).distinct()
+    untouched = history.join(F.broadcast(affected), key, "left_anti")
+    touched = history.join(F.broadcast(affected), key, "left_semi")
+    replay = touched.select(
+        F.col(key),
+        F.col("attr_value").alias(value),
+        F.col("valid_from").alias(ts),
+        F.col("change_seq").alias(seq),
+    ).unionByName(changes.select(key, value, ts, seq))
+    rebuilt = scd2_build(replay, key=key, value=value, ts=ts, seq=seq)
+    return untouched.unionByName(rebuilt)

@@ -476,3 +476,39 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@register(
+    "window_distribution",
+    """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cdist,
+       nth_value(l_quantity, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS second_qty
+FROM lineitem
+WHERE l_orderkey % 13 = 0
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_quantity, l_orderkey, l_linenumber)
+""",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family (percent_rank / cume_dist /
+    nth_value) — the remaining SQL:2003 window group. Total ordering
+    via tie-breakers makes the distribution values cross-engine
+    exact ((rank-1)/(n-1) and k/n are single IEEE divisions)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 13 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value(F.col("l_quantity"), 2).over(wrows).alias("second_qty"),
+    )

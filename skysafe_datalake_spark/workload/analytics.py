@@ -482,3 +482,35 @@ def tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("tpch_q5_like_sql", _Q5_SQL)
+def tpch_q5_like_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface itself: the engine registers its tables as temp
+    views and executes a raw ANSI string through spark.sql — the SAME
+    string the DuckDB oracle runs (SURVEY.md §3: one IR means df-API
+    and SQL come for free). Q5 shape: 6-way join with a selective
+    region filter — Catalyst gets to reorder joins, push both filters
+    into the scans, and broadcast the three dimension tables; decimal
+    revenue sums keep the aggregate partitioning-invariant."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)

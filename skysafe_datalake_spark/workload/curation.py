@@ -351,3 +351,52 @@ def iqr_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@register(
+    "scd2_merge_upsert",
+    """
+SELECT o_custkey AS custkey,
+       o_orderpriority AS attr_value,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS INTEGER) AS version
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: history built from pre-1996
+    orders, then a change batch (1996+) MERGEd in via
+    operators.temporal.scd2_merge — touched keys' chains rebuilt,
+    untouched keys passed through untouched. The oracle is the
+    one-shot full build over ALL orders: the merge must be exactly
+    associative (merge(build(A), B) == build(A ∪ B)) or the hash
+    check fails."""
+    from skysafe_datalake_spark.operators.temporal import scd2_build, scd2_merge
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("prio"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    history = scd2_build(
+        o.where(F.col("o_orderdate") < cutoff),
+        key="custkey", value="prio", ts="o_orderdate", seq="o_orderkey",
+    )
+    merged = scd2_merge(
+        history,
+        o.where(F.col("o_orderdate") >= cutoff),
+        key="custkey", value="prio", ts="o_orderdate", seq="o_orderkey",
+    )
+    return merged.select(
+        "custkey",
+        "attr_value",
+        F.col("valid_from"),
+        "valid_to",
+        "is_current",
+        "version",
+    )

@@ -14,6 +14,7 @@ from skysafe_datalake_spark.operators.nn_join import nearest_neighbor_join
 from skysafe_datalake_spark.workload.registry import register
 from skysafe_datalake_spark.workload.tables import (
     HAVERSINE_SQL,
+    LATTICE_STATIONS_SQL,
     pround,
     pround_sql,
     STATIONS_CTE,
@@ -279,5 +280,67 @@ def nn_station_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flight_id",
         "station_id",
         F.col("_nn_rank").cast("int").alias("rank"),
+        pround(F.col("dist_raw"), 4).alias("dist_km"),
+    )
+
+
+@register(
+    "nn_station_grid",
+    f"""
+WITH flights AS ({{SYN}}),
+stations AS ({{LATTICE}}),
+joined AS (
+  SELECT f.flight_id, f.lat, f.lon, s.station_id, s.s_lat, s.s_lon,
+         {HAVERSINE_SQL} AS dist_raw
+  FROM flights f CROSS JOIN stations s
+),
+nearest AS (
+  SELECT * FROM joined
+  QUALIFY row_number() OVER (
+    PARTITION BY flight_id
+    ORDER BY floor(dist_raw * 1000000.0 + 0.5) / 1000000.0, station_id) = 1
+)
+SELECT flight_id, station_id,
+       floor(dist_raw * 10000.0 + 0.5) / 10000.0 AS dist_km
+FROM nearest
+""".replace("{SYN}", SYNTHETIC_FLIGHTS_SQL).replace(
+        "{LATTICE}", LATTICE_STATIONS_SQL
+    ),
+)
+def nn_station_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN join WITHOUT broadcasting the right side: 600 lattice
+    stations resolved through grid_nn_join's cell-ring candidate
+    equi-join (25 probe cells per flight, shuffled hash join on the
+    cell key, map-side argmin). The oracle is the exact full cross
+    join — the ring search must lose nothing, which the lattice's
+    ≥1-station-per-cell density guarantees (operators/nn_join.py
+    CORRECTNESS CONTRACT). This is the plan shape for the reference's
+    J2 when the station side outgrows a broadcast (SURVEY.md §7.4
+    'NN join at scale')."""
+    from skysafe_datalake_spark.operators.nn_join import grid_nn_join
+    from skysafe_datalake_spark.workload.tables import lattice_stations_df
+
+    flights = synthetic_flights(load(spark, sf_dir, "events")).select(
+        "flight_id", "lat", "lon"
+    )
+    stations = lattice_stations_df(spark)
+    nn = grid_nn_join(
+        flights,
+        stations,
+        partition_by=["flight_id"],
+        left_lat="lat",
+        left_lon="lon",
+        right_lat="s_lat",
+        right_lon="s_lon",
+        distance=haversine_km("lat", "lon", "s_lat", "s_lon"),
+        cell_deg=0.5,
+        ring=2,
+        distance_name="dist_raw",
+        order_by=pround(F.col("dist_raw"), 6),
+        tie_breakers=["station_id"],
+    )
+    return nn.select(
+        "flight_id",
+        "station_id",
         pround(F.col("dist_raw"), 4).alias("dist_km"),
     )

@@ -851,3 +851,151 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_neardup_pairs(
         sigs, "doc_id", n_bits=16, n_bands=4, max_hamming=3
     )
+
+
+@register(
+    "contamination_ngram_overlap",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 4),
+                i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS gram
+  FROM toks WHERE len(ts) >= 5
+),
+eval_g   AS (SELECT doc_id, gram FROM grams WHERE doc_id % 17 = 0),
+corpus_g AS (SELECT doc_id, gram FROM grams WHERE doc_id % 17 <> 0),
+keep AS (
+  SELECT gram FROM corpus_g GROUP BY gram HAVING count(*) <= 50
+),
+eval_n AS (SELECT doc_id, count(*) AS n_grams FROM eval_g GROUP BY doc_id),
+hits AS (
+  SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id, count(*) AS n_common
+  FROM eval_g e
+  JOIN keep USING (gram)
+  JOIN corpus_g c USING (gram)
+  GROUP BY e.doc_id, c.doc_id
+)
+SELECT h.eval_id, h.corpus_id, h.n_common,
+       floor(h.n_common * 1.0 / n.n_grams * 1000000.0 + 0.5) / 1000000.0
+         AS overlap_frac
+FROM hits h JOIN eval_n n ON n.doc_id = h.eval_id
+WHERE h.n_common * 1.0 / n.n_grams >= 0.2
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which corpus documents
+    contain >=20% of an eval document's distinct word 5-grams (the
+    n-gram-overlap decontamination check of LLM data prep). Eval set
+    = doc_id % 17 == 0, corpus = the rest.
+
+    Scale shape — ONE pass over the corpus: grams come from an
+    array-native transform(sequence(...)) (no per-token shuffle) and
+    a single groupBy(gram) builds the inverted index (eval posting
+    list, corpus posting list) — the eval x corpus comparison is the
+    explode of that index, never all-pairs, and every downstream
+    aggregate (per-eval gram counts, pair counts) derives from the
+    index rather than re-scanning documents. Stop-gram suppression
+    (corpus document frequency > 50 dropped) bounds the posting-list
+    explode fan-out the same way df-capping does in production
+    decontamination — so one index row expands to at most
+    |eval_ids|·50 pairs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias(
+            "ts"
+        ),
+    ).where(F.size("ts") >= 5)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 4),"
+                " i -> concat_ws(' ', slice(ts, i, 5)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    is_eval = F.col("doc_id") % 17 == 0
+    index = grams.groupBy("gram").agg(
+        F.collect_list(F.when(is_eval, F.col("doc_id"))).alias("eval_ids"),
+        F.collect_list(F.when(~is_eval, F.col("doc_id"))).alias("corpus_ids"),
+    )
+    # per-eval-doc denominator, derived from the (vocab-sized) index
+    eval_n = (
+        index.select(F.explode("eval_ids").alias("eval_id"))
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    hits = (
+        index.where(
+            (F.size("eval_ids") > 0)
+            & (F.size("corpus_ids") > 0)
+            & (F.size("corpus_ids") <= 50)
+        )
+        .select(F.explode("eval_ids").alias("eval_id"), "corpus_ids")
+        .select("eval_id", F.explode("corpus_ids").alias("corpus_id"))
+        .groupBy("eval_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    frac = F.col("n_common") * F.lit(1.0) / F.col("n_grams")
+    return (
+        hits.join(F.broadcast(eval_n), "eval_id")
+        .where(frac >= 0.2)
+        .select(
+            "eval_id",
+            "corpus_id",
+            "n_common",
+            pround(frac, 6).alias("overlap_frac"),
+        )
+    )
+
+
+@register(
+    "embedding_l2_normalize",
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+n AS (SELECT vec_id, sqrt(list_dot_product(vec, vec)) AS nrm, vec FROM v)
+SELECT vec_id,
+       array_to_string(
+         list_transform(vec,
+           x -> CAST(CAST(floor(x / nrm * 1000000.0 + 0.5) AS BIGINT)
+                     AS VARCHAR)), ',') AS unit_ppm_csv,
+       floor(nrm * 1000000.0 + 0.5) / 1000000.0 AS norm_r
+FROM n
+WHERE nrm > 0
+""",
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization of the embedding column — the prep step
+    every cosine/ANN consumer assumes. Pure higher-order array
+    expressions (zero-shuffle projection). Components are serialized
+    as parts-per-million INTEGERS: integer text is bit-exact across
+    engines, where double→string formatting is not (Spark prints
+    1.0E-6, DuckDB 1e-06) — same convention as embedding_quantize's
+    int8 payload."""
+    from skysafe_datalake_spark.operators.similarity import norm as l2norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = l2norm(F.col("embedding"))
+    ppm = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") / F.col("nrm") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("string"),
+    )
+    return (
+        emb.withColumn("nrm", nrm)
+        .where(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.array_join(ppm, ",").alias("unit_ppm_csv"),
+            pround(F.col("nrm"), 6).alias("norm_r"),
+        )
+    )

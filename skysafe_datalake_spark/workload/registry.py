@@ -79,6 +79,12 @@ _ROUND2_PRIORITY = [
     "ml_rules_fallback",
     "phase_rules_labels",
     "streaming_upsert_partitioned",
+    "scd2_merge_upsert",
+    "contamination_ngram_overlap",
+    "window_distribution",
+    "tpch_q5_like_sql",
+    "embedding_l2_normalize",
+    "nn_station_grid",
 ]
 
 

@@ -164,3 +164,33 @@ HAVERSINE_SQL = (
         )
     )
 )
+
+
+# Dense synthetic station lattice (600 points, 0.5° spacing over the
+# France bbox) — a right side representative of "too many stations to
+# broadcast": guarantees >= 1 station per 0.5° grid cell inside the
+# domain, which is the density contract grid_nn_join's ring search
+# needs for exactness.
+N_LATTICE_LON = 30  # lon steps: -5.0 + 0.5*j, j in [0, 30)
+N_LATTICE_LAT = 20  # lat steps: 41.5 + 0.5*i, i in [0, 20)
+
+LATTICE_STATIONS_SQL = f"""
+SELECT CAST(range AS BIGINT) AS station_id,
+       41.5 + CAST(range // {N_LATTICE_LON} AS DOUBLE) * 0.5 AS s_lat,
+       -5.0 + CAST(range % {N_LATTICE_LON} AS DOUBLE) * 0.5 AS s_lon
+FROM range(0, {N_LATTICE_LAT * N_LATTICE_LON})
+"""
+
+
+def lattice_stations_df(spark: SparkSession) -> DataFrame:
+    sid = F.col("id")
+    return spark.range(N_LATTICE_LAT * N_LATTICE_LON).select(
+        sid.alias("station_id"),
+        (
+            F.lit(41.5)
+            + F.expr(f"id div {N_LATTICE_LON}").cast("double") * F.lit(0.5)
+        ).alias("s_lat"),
+        (
+            F.lit(-5.0) + (sid % F.lit(N_LATTICE_LON)).cast("double") * F.lit(0.5)
+        ).alias("s_lon"),
+    )

@@ -239,3 +239,16 @@ def test_tpch_q3_like_topk_and_pushdown(spark):
     assert plan.count("PushedFilters: [Is") + plan.count(
         "PushedFilters: [Great"
     ) + plan.count("PushedFilters: [Less") + plan.count("PushedFilters: [EqualTo") >= 3
+
+
+def test_grid_nn_join_avoids_cross_join(spark):
+    """The grid strategy must resolve NN through a cell-key equi-join
+    — no cross join, no broadcast-nested-loop of the station side —
+    and reduce candidates with the map-side-combining argmin
+    (partial_min before the exchange), the shape that survives a
+    non-broadcastable right side."""
+    plan = plan_of(spark, "nn_station_grid")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_cx" in plan and "_cy" in plan  # the cell equi-join key
+    assert "partial_min" in plan  # argmin combines map-side
