@@ -999,3 +999,125 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("nrm"), 6).alias("norm_r"),
         )
     )
+
+
+@register(
+    "llm_corpus_prep",
+    rf"""
+WITH m AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS n_stop
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text,
+         CAST((CASE WHEN n_chars >= 200 THEN 40 WHEN n_chars >= 50 THEN 25 ELSE 5 END)
+            + (CASE WHEN n_stop * 100 >= n_words * 5 THEN 30 WHEN n_stop > 0 THEN 15 ELSE 0 END)
+            + (CASE WHEN n_punct * 100 > n_chars * 10 THEN 0 ELSE 30 END) AS INTEGER)
+           AS quality_score
+  FROM m
+),
+kept AS (SELECT * FROM scored WHERE quality_score >= 70),
+canon AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT doc_id, lang, quality_score,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))
+         AS n_bpe_tokens,
+       CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM canon WHERE rn = 1
+""",
+)
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-prep slice in ONE declarative plan:
+    quality gate (score >= 70) → exact near-dup canonicalization
+    (normalized-fingerprint groups, keep min doc_id) → token budget →
+    deterministic hash split. What a user runs nightly over the whole
+    corpus; Catalyst fuses the scoring/filter/projection into the
+    scan stage, the fingerprint canonicalization is the single
+    shuffle, and the split assignment stays a pure map — so the whole
+    pipeline is one exchange end to end at any scale."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        t.alias("text"),
+        T.quality_score(t).alias("quality_score"),
+    ).where(F.col("quality_score") >= 70)
+    w = Window.partitionBy(T.normalized_fingerprint(F.col("text"))).orderBy(
+        "doc_id"
+    )
+    canon = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return canon.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, unnest(generate_series(0, (n - 1) // 1024)) AS fr, hx, n
+  FROM b WHERE n > 0
+)
+SELECT doc_id AS item_id,
+       CAST(fr AS INT) AS frame_no,
+       CAST(length(substr(hx, fr * 2048 + 1, 128)) // 2 AS INT) AS frame_len,
+       substr(hx, fr * 2048 + 1, 128) AS frame_hex
+FROM f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video → keyframes surrogate): the
+    1→N mapInPandas fan-out over binary payloads, sampling a 64-byte
+    "frame" every 1024 bytes. The decode stays a deterministic byte
+    slice (codecs absent from this container — operators/multimodal
+    stub contract), but the Spark shape — Arrow batching, BinaryType
+    frames, fan-out schema — is the real thing, and the oracle
+    re-derives every frame byte-for-byte from the hex encoding, so
+    the kernel is fully hash-checked (same approach that fixed
+    multimodal_byte_features in round 1)."""
+    docs = load(spark, sf_dir, "documents")
+    with_media = docs.select(
+        F.col("doc_id").alias("item_id"),
+        F.encode(F.col("text"), "utf-8").alias("media"),
+    )
+    frames = MM.sample_frames(
+        with_media, every_n_bytes=1024, frame_bytes=64
+    )
+    return frames.select(
+        "item_id",
+        "frame_no",
+        F.length(F.col("frame")).cast("int").alias("frame_len"),
+        F.hex(F.col("frame")).alias("frame_hex"),
+    )

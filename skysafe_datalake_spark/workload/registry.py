@@ -85,6 +85,8 @@ _ROUND2_PRIORITY = [
     "tpch_q5_like_sql",
     "embedding_l2_normalize",
     "nn_station_grid",
+    "llm_corpus_prep",
+    "multimodal_frame_sample",
 ]
 
 
