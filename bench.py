@@ -72,6 +72,8 @@ HEADLINE = [
     "ml_rules_fallback",
     "llm_corpus_prep",
     "multimodal_frame_sample",
+    "pagerank_integer",
+    "gap_detect",
 ]
 
 

@@ -30,6 +30,12 @@ NAMES = [
     "global_stats",
     "asof_join_attrib",
     "rollup_hierarchy",
+    # round-2 operators
+    "nn_station_grid",
+    "scd2_merge_upsert",
+    "llm_corpus_prep",
+    "tpch_q5_like_sql",
+    "window_distribution",
 ]
 
 
@@ -55,13 +61,22 @@ def replicate(spark) -> None:
         "orders": ["o_orderkey", "o_custkey"],
         "customer": ["c_custkey"],
         "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
     }
     os.makedirs(DST, exist_ok=True)
     for t, cols in shifted.items():
-        rep(spark.read.parquet(f"{SRC}/{t}.parquet"), cols).write.mode(
-            "overwrite"
-        ).parquet(f"{DST}/{t}.parquet")
-    for t in ["region", "nation", "supplier", "part", "documents", "embeddings"]:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        r = rep(df, cols)
+        if t == "documents":
+            # make replica texts distinct so dedup/fingerprint group
+            # cardinalities grow honestly instead of 8x-duplicating
+            r = r.withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" rep"), (F.col("doc_id") / SHIFT).cast("long").cast("string")),
+            )
+        r.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+    for t in ["region", "nation", "supplier", "part"]:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
@@ -74,10 +89,16 @@ def timed(spark, sf_dir: str) -> dict[str, float]:
         QUERIES[n](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out = {}
     for n in NAMES:
-        df = QUERIES[n](spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        out[n] = time.perf_counter() - t0
+        # min of 3: single long-session measurements catch GC /
+        # shuffle-fetch stalls worth 5-10x the query itself on this
+        # shared box; the min is the reproducible engine cost.
+        runs = []
+        for _ in range(3):
+            df = QUERIES[n](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out[n] = min(runs)
     return out
 
 

@@ -116,3 +116,66 @@ class LakeCatalog:
         return df.where(
             (F.col("date") == latest["date"]) & (F.col("hour") == latest["hour"])
         )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        layer: str,
+        source: str,
+        entity: str,
+        *,
+        target_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> dict[str, tuple[int, int]]:
+        """Small-file compaction: rewrite each date/hour partition
+        whose file count exceeds what its data volume needs.
+
+        A minute-cadence pipeline writes 1440 partitions/day and each
+        micro-batch can leave many small files; scans then pay one
+        task + one open per file. Compaction reads a partition once,
+        coalesces to ceil(bytes / target_bytes) files, and swaps it
+        atomically via dynamic partition overwrite — untouched
+        partitions are never rewritten (same mechanism as the upsert
+        sink). Returns {partition: (files_before, files_after)} for
+        the partitions actually rewritten.
+        """
+        import os as _os
+
+        root = self.path(layer, source, entity)
+        plan: dict[str, tuple[str, str, int, int]] = {}
+        for date_dir in sorted(_os.listdir(root)):
+            if not date_dir.startswith("date="):
+                continue
+            for hour_dir in sorted(_os.listdir(_os.path.join(root, date_dir))):
+                if not hour_dir.startswith("hour="):
+                    continue
+                full = _os.path.join(root, date_dir, hour_dir)
+                files = [
+                    f for f in _os.listdir(full) if f.endswith(".parquet")
+                ]
+                nbytes = sum(
+                    _os.path.getsize(_os.path.join(full, f)) for f in files
+                )
+                want = max(1, -(-nbytes // target_bytes))
+                if len(files) >= min_files and len(files) > want:
+                    key = f"{date_dir}/{hour_dir}"
+                    plan[key] = (
+                        date_dir.split("=", 1)[1],
+                        hour_dir.split("=", 1)[1],
+                        len(files),
+                        want,
+                    )
+        result: dict[str, tuple[int, int]] = {}
+        for key, (date, hour, before, want) in plan.items():
+            part = self.read(spark, layer, source, entity).where(
+                (F.col("date") == date) & (F.col("hour") == hour)
+            )
+            (
+                part.coalesce(want)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("date", "hour")
+                .save(root)
+            )
+            result[key] = (before, want)
+        return result

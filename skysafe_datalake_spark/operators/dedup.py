@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from skysafe_datalake_spark.functions.text import words
 
 
-def _spread(df: DataFrame, id_col: str) -> DataFrame:
+def spread_to_cores(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition ahead of row-multiplying work (explode + hash).
 
     A small input (one parquet split) would otherwise pin the whole
@@ -50,7 +50,7 @@ def explode_shingles(
     array with higher-order functions (interpreted, allocation-heavy)
     and exploding it."""
     return (
-        _spread(df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt")), id_col)
+        spread_to_cores(df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt")), id_col)
         .filter(F.length("_lt") >= k)
         .select(
             F.col(id_col),
@@ -149,8 +149,10 @@ def minhash_lsh_pairs(
     min_matching / n_hashes).
     """
     # The signature table feeds the self-join AND the scoring joins;
-    # cache it so the shingle-explode lineage runs once.
-    signatures = signatures.cache()
+    # materialize once via lazy localCheckpoint (blocks are freed by
+    # the ContextCleaner when the result frame is dropped — cache()
+    # entries would leak in the CacheManager across batch runs).
+    signatures = signatures.localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -208,7 +210,7 @@ def simhash(
     (compare with a Hamming-distance self-join on rotated keys).
     Two-level aggregation, both with partial combine.
     """
-    tokens = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+    tokens = spread_to_cores(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
     ).withColumn("h", _hash16(F.col("tok")))
     contrib = tokens.select(

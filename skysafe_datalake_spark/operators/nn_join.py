@@ -128,19 +128,33 @@ def grid_nn_join(
     distance_name: str = "dist_km",
     order_by: Column | None = None,
     tie_breakers: Sequence[str] = (),
+    keep: Sequence[str] | None = None,
 ) -> DataFrame:
     """Nearest-neighbor join for right sides TOO LARGE TO BROADCAST:
     grid-cell candidate equi-join instead of a cross join.
 
-    Both sides are bucketed into ``cell_deg``-degree grid cells; each
-    left row probes its own cell plus a ``ring``-cell neighborhood
-    ((2·ring+1)² probe keys, exploded map-side), candidates come from
-    a plain shuffled hash equi-join on (cell_x, cell_y), and the
-    per-key argmin reduces them with map-side partial combine. Total
-    shuffle: (2·ring+1)²·|left| probe rows + |right| — versus
-    |left|·|right| for the cross join. The right side can further be
-    WRITTEN bucketed by cell to make its side of the join
-    shuffle-free.
+    ``keep``: optional column whitelist (beyond ``partition_by``) to
+    carry through the argmin. min(struct) aggregates run as
+    SortAggregate (struct buffers aren't hash-aggregatable), so every
+    byte of payload is SORTED once per candidate row — trimming to
+    the columns the caller actually needs shrinks that sort
+    proportionally. Default keeps everything.
+
+    Both sides are bucketed into ``cell_deg``-degree grid cells. The
+    ring expansion happens on the RIGHT side: each right row is
+    replicated into the (2·ring+1)² cells around its own, so a left
+    row finds every right row within ``ring`` cells by probing its
+    SINGLE cell — a plain shuffled hash equi-join on (cell_x,
+    cell_y). "Right point within ring of left's cell" ⟺ "left's cell
+    within ring of right's cell", so the candidate set is identical
+    to exploding the left side — but the shuffle is |left| +
+    (2·ring+1)²·|right| instead of (2·ring+1)²·|left|, and in the
+    NN-join regime |right| ≪ |left| by orders of magnitude (the
+    left-exploding variant measured 10x super-linear in the 8x scale
+    smoke; this one stays linear). The per-key argmin then reduces
+    candidates with map-side partial combine. The expanded right
+    side can further be WRITTEN bucketed by cell to make its side of
+    the join shuffle-free.
 
     CORRECTNESS CONTRACT: the true nearest neighbor must lie within
     the probed ring, i.e. every left point must have some candidate
@@ -152,27 +166,40 @@ def grid_nn_join(
     rows with NO candidate in the ring are dropped — choose
     cell_deg/ring from the right side's guaranteed density.
     """
-    cx_l = F.floor(F.col(left_lat) / F.lit(cell_deg)).cast("long")
-    cy_l = F.floor(F.col(left_lon) / F.lit(cell_deg)).cast("long")
-    deltas = F.array(
-        *[F.lit(d) for d in range(-ring, ring + 1)]
-    )
-    probes = (
-        left.withColumn("_cx0", cx_l)
-        .withColumn("_cy0", cy_l)
+    from skysafe_datalake_spark.operators.dedup import spread_to_cores
+
+    deltas = F.array(*[F.lit(d) for d in range(-ring, ring + 1)])
+    # The join+distance+argmin-partial all run in the left scan's
+    # stage; a left side read from few splits would pin the whole
+    # (2·ring+1)²-expanded pipeline to those tasks. Rebalance the
+    # COMPACT pre-join rows to core parallelism when needed (no-op on
+    # well-split inputs).
+    left = spread_to_cores(left, partition_by[0])
+    cells_l = left.withColumn(
+        "_cx", F.floor(F.col(left_lat) / F.lit(cell_deg)).cast("long")
+    ).withColumn("_cy", F.floor(F.col(left_lon) / F.lit(cell_deg)).cast("long"))
+    expanded_r = (
+        right.withColumn(
+            "_rcx", F.floor(F.col(right_lat) / F.lit(cell_deg)).cast("long")
+        )
+        .withColumn(
+            "_rcy", F.floor(F.col(right_lon) / F.lit(cell_deg)).cast("long")
+        )
         .withColumn("_dx", F.explode(deltas))
-        .withColumn("_cx", F.col("_cx0") + F.col("_dx"))
+        .withColumn("_cx", F.col("_rcx") + F.col("_dx"))
         .withColumn("_dy", F.explode(deltas))
-        .withColumn("_cy", F.col("_cy0") + F.col("_dy"))
-        .drop("_cx0", "_cy0", "_dx", "_dy")
+        .withColumn("_cy", F.col("_rcy") + F.col("_dy"))
+        .drop("_rcx", "_rcy", "_dx", "_dy")
     )
-    cells_r = right.withColumn(
-        "_cx", F.floor(F.col(right_lat) / F.lit(cell_deg)).cast("long")
-    ).withColumn("_cy", F.floor(F.col(right_lon) / F.lit(cell_deg)).cast("long"))
     joined = (
-        probes.join(cells_r, ["_cx", "_cy"])
+        cells_l.join(expanded_r, ["_cx", "_cy"])
         .drop("_cx", "_cy")
         .withColumn(distance_name, distance)
     )
+    if keep is not None:
+        cols = list(partition_by) + [
+            c for c in joined.columns if c in set(keep) and c not in partition_by
+        ]
+        joined = joined.select(*cols)
     rank_on = order_by if order_by is not None else F.col(distance_name)
     return _argmin(joined, partition_by, rank_on, tie_breakers)

@@ -38,6 +38,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Quieter local runs.
     "spark.ui.showConsoleProgress": "false",
+    # Local mode runs everything in the driver JVM; the Spark default
+    # (1g) starves broadcast builds long before the machine does.
+    # Applied only when this factory CREATES the JVM — a pre-existing
+    # session keeps its own memory setting. Override via
+    # SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

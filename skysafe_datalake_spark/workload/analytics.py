@@ -514,3 +514,116 @@ def tpch_q5_like_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q5_SQL)
+
+
+# ─────────────────── iterative graph analytics ───────────────────
+
+_PR_ITERS = 8
+_PR_TOTAL = 10**12  # fixed-point mass: 1.0 == 10^12 'ppb' units
+
+_PR_GRAPH_SQL = """
+pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+base AS (SELECT CAST({total} AS BIGINT) // COUNT(*) AS b FROM nodes),
+r0 AS (SELECT node, (SELECT b FROM base) AS r FROM nodes)
+""".replace("{total}", str(_PR_TOTAL))
+
+
+def _pr_iter_cte(i: int) -> str:
+    return f"""
+r{i} AS (
+  SELECT nd.node,
+         (15 * (SELECT b FROM base)
+          + 85 * COALESCE(s.sum_in, CAST(0 AS BIGINT))) // 100 AS r
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.outdeg) AS sum_in
+    FROM edges e
+    JOIN r{i - 1} p ON p.node = e.src
+    JOIN deg d ON d.node = e.src
+    GROUP BY e.dst
+  ) s ON s.node = nd.node
+)"""
+
+
+_PR_SQL = (
+    "WITH "
+    + _PR_GRAPH_SQL
+    + ","
+    + ",".join(_pr_iter_cte(i) for i in range(1, _PR_ITERS + 1))
+    + f"\nSELECT node, r AS rank_ppb FROM r{_PR_ITERS}"
+)
+
+
+@register("pagerank_integer", _PR_SQL)
+def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier bipartite graph (edges =
+    who traded with whom via orders×lineitem), 8 synchronous
+    iterations, damping 0.85 — in EXACT FIXED-POINT INTEGER
+    arithmetic: ranks are parts-per-10^12 bigints, per-edge
+    contributions use integer division, and the damping step is
+    (15·base + 85·Σ) // 100. Why: float PageRank sums incoming mass
+    in partition order and can't hash-match across engines; integer
+    sums are associative, so the result is bit-identical on any
+    cluster layout AND against the oracle's unrolled-CTE twin.
+
+    Scale shape: per iteration one equi-join (edges ⋈ ranks, both
+    keyed on node — co-partitionable, zero extra exchange when the
+    edge table is bucketed by src) and one map-side-combined SUM by
+    dst; lineage is cut with localCheckpoint every 3 rounds so plan
+    complexity stays constant over arbitrarily many iterations
+    (same discipline as operators/graph.py connected components)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    n_nodes = nodes.count()
+    base = _PR_TOTAL // n_nodes
+    ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
+
+    for i in range(1, _PR_ITERS + 1):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg.withColumnRenamed("src", "_dn"), F.col("_dn") == F.col("src"))
+            .select(
+                F.col("dst"),
+                F.expr("r div outdeg").alias("c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("sum_in"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                F.expr(
+                    f"(15 * cast({base} as bigint)"
+                    " + 85 * coalesce(sum_in, cast(0 as bigint))) div 100"
+                ).alias("r"),
+            )
+        )
+        if i % 3 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    return ranks.select("node", F.col("r").alias("rank_ppb"))

@@ -338,6 +338,7 @@ def nn_station_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         distance_name="dist_raw",
         order_by=pround(F.col("dist_raw"), 6),
         tie_breakers=["station_id"],
+        keep=["station_id", "dist_raw"],
     )
     return nn.select(
         "flight_id",

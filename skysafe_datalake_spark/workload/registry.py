@@ -87,6 +87,8 @@ _ROUND2_PRIORITY = [
     "nn_station_grid",
     "llm_corpus_prep",
     "multimodal_frame_sample",
+    "gap_detect",
+    "pagerank_integer",
 ]
 
 

@@ -179,3 +179,44 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "gap_detect",
+    """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+),
+d AS (
+  SELECT user_id, ts AS gap_start,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_end
+  FROM e
+)
+SELECT user_id, gap_start, gap_end,
+       CAST(date_diff('second', gap_start, gap_end) AS BIGINT) AS gap_seconds
+FROM d
+WHERE gap_end IS NOT NULL
+  AND date_diff('second', gap_start, gap_end) > 21600
+""",
+)
+def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data detection: per-key gaps longer than 6 hours
+    between consecutive events (the monitoring query behind 'did the
+    feed stop?'). One window pass per key — same single-shuffle shape
+    as sessionization; at scale the events table is already
+    partitioned by key-bucket so the window sorts locally."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    gap_s = (F.unix_timestamp(nxt) - F.unix_timestamp(F.col("ts")))
+    return (
+        e.select(
+            "user_id",
+            F.col("ts").alias("gap_start"),
+            nxt.alias("gap_end"),
+            gap_s.alias("gap_seconds"),
+        )
+        .where(F.col("gap_end").isNotNull() & (F.col("gap_seconds") > 21600))
+    )

@@ -230,3 +230,44 @@ def test_es_sink_contract_without_connector(spark):
     assert not es_sink.es_available(spark)
     with pytest.raises(es_sink.EsSinkUnavailable):
         es_sink.write_batch_to_es(df, opts)
+
+
+def test_catalog_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """Small-file compaction: a fragmented partition collapses to the
+    file count its volume needs; already-compact partitions are left
+    byte-untouched (dynamic-overwrite swap, like the upsert sink)."""
+    from datetime import datetime, timezone
+
+    from skysafe_datalake_spark.catalog import LakeCatalog
+
+    cat = LakeCatalog(str(tmp_path / "lake"))
+    frag = spark.range(1000).repartition(8).withColumnRenamed("id", "x")
+    cat.write(frag, "formatted", "opensky", "flights",
+              ts=datetime(2026, 2, 26, 13, tzinfo=timezone.utc))
+    tidy = spark.range(1000, 2000).coalesce(1).withColumnRenamed("id", "x")
+    cat.write(tidy, "formatted", "opensky", "flights",
+              ts=datetime(2026, 2, 26, 14, tzinfo=timezone.utc))
+
+    root = cat.path("formatted", "opensky", "flights")
+
+    def files(hour):
+        d = os.path.join(root, "date=2026-02-26", f"hour={hour}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before13, before14 = files(13), files(14)
+    assert len(before13) == 8 and len(before14) == 1
+
+    result = cat.compact(spark, "formatted", "opensky", "flights")
+    assert result == {"date=2026-02-26/hour=13": (8, 1)}
+    assert len(files(13)) == 1
+    assert files(14) == before14  # untouched partition: same files, same mtime
+
+    # values intact across the whole entity
+    vals = sorted(
+        r["x"] for r in cat.read(spark, "formatted", "opensky", "flights").collect()
+    )
+    assert vals == list(range(2000))
