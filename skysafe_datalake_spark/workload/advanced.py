@@ -512,3 +512,108 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.cume_dist().over(w), 6).alias("cdist"),
         F.nth_value(F.col("l_quantity"), 2).over(wrows).alias("second_qty"),
     )
+
+
+@register(
+    "window_rank_ties",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(ntile(4) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderkey) AS INTEGER) AS quartile
+FROM orders
+WHERE o_custkey % 7 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey)
+""",
+)
+def window_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank (gap vs no-gap tie semantics) + ntile —
+    completes the ranking-window family beyond row_number."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") % 7 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    wq = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(wq).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+SELECT c_custkey,
+       upper(c_name) AS up_name,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+       replace(c_name, '#', '-') AS dashed_name,
+       substr(c_name, 1, 8) AS name_head,
+       length(c_name) AS name_len,
+       concat_ws('#', c_mktsegment, c_name) AS tagged,
+       left(trim(c_mktsegment), 3) AS seg_head,
+       CAST(position('a' IN c_name) AS INTEGER) AS first_a,
+       reverse(c_mktsegment) AS seg_rev,
+       split_part(c_name, '#', 2) AS name_num
+FROM customer
+WHERE c_custkey % 11 = 0
+""",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (upper/lpad/replace/substr/
+    length/concat_ws/trim/left/position/reverse/split_part) — all
+    codegen projections, engine-portable semantics."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_custkey") % 11 == 0)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed_name"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", "c_name").alias("tagged"),
+        F.left(F.trim(F.col("c_mktsegment")), F.lit(3)).alias("seg_head"),
+        F.instr(F.col("c_name"), "a").cast("int").alias("first_a"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+    )
+
+
+@register(
+    "datetime_functions",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(dayofmonth(o_orderdate) AS INTEGER) AS d,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       o_orderdate + INTERVAL 90 DAY AS due_ts,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_diff('day', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+FROM orders
+WHERE o_orderkey % 13 = 0
+""",
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery: extraction, truncation, interval
+    arithmetic, month boundaries, day differences — UTC-pinned
+    session semantics throughout."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("days_since_95"),
+    )

@@ -89,6 +89,9 @@ _ROUND2_PRIORITY = [
     "multimodal_frame_sample",
     "gap_detect",
     "pagerank_integer",
+    "window_rank_ties",
+    "string_functions",
+    "datetime_functions",
 ]
 
 

@@ -271,3 +271,48 @@ def test_catalog_compaction_rewrites_only_fragmented_partitions(spark, tmp_path)
         r["x"] for r in cat.read(spark, "formatted", "opensky", "flights").collect()
     )
     assert vals == list(range(2000))
+
+
+def test_round2_operators_handle_empty_inputs(spark, tmp_path):
+    """Empty-input robustness for the round-2 operators: an empty
+    micro-batch / an empty change batch / an empty left side must be
+    no-ops or empty results, never errors."""
+    from pyspark.sql import functions as F2
+
+    from skysafe_datalake_spark.functions.geo import haversine_km
+    from skysafe_datalake_spark.operators.nn_join import grid_nn_join
+    from skysafe_datalake_spark.operators.temporal import scd2_build, scd2_merge
+
+    # empty batch into an existing upsert table: table unchanged
+    table = str(tmp_path / "usage")
+    base = spark.createDataFrame(
+        [("a", "2026-01-01T00:00:00", 1)],
+        "icao24 string, ts_str string, v int",
+    ).withColumn("extracted_at", F2.to_timestamp("ts_str")).drop("ts_str")
+    upsert_partitioned(base, table, n_buckets=2)
+    empty = base.where(F2.lit(False))
+    upsert_partitioned(empty, table, n_buckets=2)
+    assert spark.read.parquet(table).count() == 1
+
+    # empty change batch merged into SCD2 history: history unchanged
+    changes = spark.createDataFrame(
+        [(1, "P1", "2026-01-01T00:00:00", 10)],
+        "k long, v string, ts_str string, seq long",
+    ).withColumn("ts", F2.to_timestamp("ts_str")).drop("ts_str")
+    hist = scd2_build(changes, key="k", value="v", ts="ts", seq="seq")
+    merged = scd2_merge(
+        hist, changes.where(F2.lit(False)), key="k", value="v", ts="ts", seq="seq"
+    )
+    assert merged.count() == hist.count() == 1
+
+    # empty left side through the grid NN join: empty result, no error
+    left = spark.createDataFrame([], "fid long, lat double, lon double")
+    right = spark.createDataFrame([(1, 45.0, 2.0)], "sid long, s_lat double, s_lon double")
+    out = grid_nn_join(
+        left, right,
+        partition_by=["fid"], left_lat="lat", left_lon="lon",
+        right_lat="s_lat", right_lon="s_lon",
+        distance=haversine_km("lat", "lon", "s_lat", "s_lon"),
+        cell_deg=0.5,
+    )
+    assert out.count() == 0
