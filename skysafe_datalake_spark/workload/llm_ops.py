@@ -1121,3 +1121,71 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("frame")).cast("int").alias("frame_len"),
         F.hex(F.col("frame")).alias("frame_hex"),
     )
+
+
+@register(
+    "quality_repetition",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ts) - 2),
+                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g
+  FROM toks WHERE len(ts) >= 3
+),
+stats AS (
+  SELECT doc_id, SUM(cnt) AS n_tri, count(*) AS n_uniq,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_in_dup
+  FROM (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g) c
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tri, n_uniq,
+       floor(n_in_dup * 1.0 / n_tri * 1000000.0 + 0.5) / 1000000.0
+         AS dup_tri_frac,
+       (n_in_dup * 1.0 / n_tri) > 0.2 AS is_repetitive
+FROM stats
+""",
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of a document's
+    word trigrams that belong to repeated trigram groups (boilerplate
+    and looping text score high; >0.2 flags the doc). Per-document
+    metric — the trigram counting partial-aggregates map-side per
+    (doc, gram), then one row per doc; the corpus is never joined
+    against itself, so the plan is two hash aggregations deep at any
+    scale."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias(
+            "ts"
+        ),
+    ).where(F.size("ts") >= 3)
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 2),"
+                " i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))"
+            )
+        ).alias("g"),
+    )
+    per_gram = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tri"),
+        F.count(F.lit(1)).alias("n_uniq"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "n_in_dup"
+        ),
+    )
+    frac = F.col("n_in_dup") * F.lit(1.0) / F.col("n_tri")
+    return stats.select(
+        "doc_id",
+        "n_tri",
+        "n_uniq",
+        pround(frac, 6).alias("dup_tri_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )

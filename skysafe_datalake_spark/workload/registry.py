@@ -92,6 +92,7 @@ _ROUND2_PRIORITY = [
     "window_rank_ties",
     "string_functions",
     "datetime_functions",
+    "quality_repetition",
 ]
 
 
