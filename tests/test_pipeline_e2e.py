@@ -316,3 +316,45 @@ def test_round2_operators_handle_empty_inputs(spark, tmp_path):
         cell_deg=0.5,
     )
     assert out.count() == 0
+
+
+def test_kibana_provisioning_flow(tmp_path):
+    """S11 provisioning through fixture transports: readiness polling
+    with retries, xsrf-header import, loud failures on missing file /
+    dead Kibana."""
+    from skysafe_datalake_spark.serving import kibana
+
+    nd = tmp_path / "dash.ndjson"
+    nd.write_text('{"type":"index-pattern","id":"usage"}\n')
+
+    calls = {"status": 0}
+
+    def transport(method, url, *, params=None, data=None, json_body=None,
+                  headers=None, timeout=None):
+        if url.endswith("/api/status"):
+            calls["status"] += 1
+            if calls["status"] < 3:  # ready on 3rd poll
+                raise ingest.HttpError("503")
+            return {"status": "available"}
+        assert "saved_objects/_import" in url and "overwrite=true" in url
+        assert headers["kbn-xsrf"] == "true"
+        assert "index-pattern" in data["file"]
+        return {"successCount": 5, "errors": []}
+
+    slept = []
+    out = kibana.import_dashboard(
+        transport, nd, sleep=slept.append
+    )
+    assert out["successCount"] == 5
+    assert calls["status"] == 3 and len(slept) == 2
+
+    with pytest.raises(FileNotFoundError):
+        kibana.import_dashboard(transport, tmp_path / "missing.ndjson")
+
+    def never_ready(method, url, **kw):
+        raise ingest.HttpError("503")
+
+    with pytest.raises(RuntimeError, match="ready"):
+        kibana.import_dashboard(
+            never_ready, nd, sleep=lambda s: None
+        )
