@@ -358,3 +358,22 @@ def test_kibana_provisioning_flow(tmp_path):
         kibana.import_dashboard(
             never_ready, nd, sleep=lambda s: None
         )
+
+
+def test_catalog_orc_round_trip(spark, tmp_path):
+    """The catalog is format-agnostic: ORC (columnar, built-in)
+    round-trips with values intact and latest-partition pruning, same
+    as parquet/JSON/CSV — a lake can mix formats per entity."""
+    from datetime import datetime, timezone
+
+    cat = LakeCatalog(str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, None, -3.25)], "id LONG, name STRING, score DOUBLE"
+    )
+    cat.write(df, "formatted", "api", "things", fmt="orc",
+              ts=datetime(2026, 2, 26, 13, tzinfo=timezone.utc))
+    got = cat.read_latest(spark, "formatted", "api", "things", fmt="orc")
+    assert {
+        (r["id"], r["name"], r["score"])
+        for r in got.select("id", "name", "score").collect()
+    } == {(1, "alpha", 1.5), (2, None, -3.25)}
