@@ -65,11 +65,14 @@ def cosine_topk(
 
 
 def _gemm_block_pairs(
-    left: DataFrame, bc, id_col: str, vec: str, threshold: float, scale: float
+    left: DataFrame, bc, id_col: str, vec: str, threshold: float, scale: float,
+    *, ordered_only: bool = True,
 ) -> DataFrame:
     """mapInPandas GEMM stage: each Arrow batch of ``left`` is scored
     against the broadcast normalized matrix ``bc = (ids, mat)``;
-    emits (a_id, b_id, cosine) with a_id < b_id above threshold."""
+    emits (a_id, b_id, cosine) above threshold. ``ordered_only``
+    keeps a_id < b_id (self near-dup: each unordered pair once);
+    False emits every cross pair (disjoint id spaces)."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -83,9 +86,10 @@ def _gemm_block_pairs(
             a_norms = np.linalg.norm(a_mat, axis=1)
             a_norms[a_norms == 0] = 1.0
             sims = (a_mat / a_norms[:, None]) @ b_mat.T
-            ai, bi = np.nonzero(
-                (sims > threshold) & (a_ids[:, None] < b_ids[None, :])
-            )
+            mask = sims > threshold
+            if ordered_only:
+                mask &= a_ids[:, None] < b_ids[None, :]
+            ai, bi = np.nonzero(mask)
             yield pd.DataFrame(
                 {
                     "a_id": a_ids[ai],
@@ -96,6 +100,34 @@ def _gemm_block_pairs(
 
     return left.select(id_col, vec).mapInPandas(
         blocks, schema="a_id long, b_id long, cosine double"
+    )
+
+
+def cross_neardup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Incremental-corpus near-dup: which CORPUS vectors near-
+    duplicate any vector of the (small) incoming BATCH — the check a
+    training pipeline runs before admitting new documents.
+
+    The batch is the broadcast side (it is micro-batch-sized by
+    construction: ~0.5 GB per million 64-dim vectors is the ceiling),
+    the corpus streams through the GEMM kernel in place — so at 100 TB
+    the corpus is never shuffled, collected, or self-joined; cost is
+    one scan · one BLAS matmul per Arrow batch. Emits
+    (a_id=corpus id, b_id=batch id, cosine) above threshold.
+    """
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_normalized(batch, id_col, vec))
+    scale = float(10**round_digits)
+    return _gemm_block_pairs(
+        corpus, bc, id_col, vec, threshold, scale, ordered_only=False
     )
 
 

@@ -1189,3 +1189,39 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(frac, 6).alias("dup_tri_frac"),
         (frac > 0.2).alias("is_repetitive"),
     )
+
+
+@register(
+    "embedding_crossdup",
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+batch AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+corpus AS (SELECT * FROM v WHERE vec_id % 10 <> 0)
+SELECT c.vec_id AS a_id, b.vec_id AS b_id,
+       floor((list_dot_product(c.vec, b.vec)
+              / (sqrt(list_dot_product(c.vec, c.vec))
+                 * sqrt(list_dot_product(b.vec, b.vec))))
+             * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM corpus c CROSS JOIN batch b
+WHERE list_dot_product(c.vec, b.vec)
+      / (sqrt(list_dot_product(c.vec, c.vec))
+         * sqrt(list_dot_product(b.vec, b.vec))) > 0.3
+""",
+)
+def embedding_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-corpus near-dup: corpus vectors that near-duplicate
+    any vector of an incoming batch (vec_id % 10 == 0 plays the
+    batch). The batch broadcasts, the corpus streams through one BLAS
+    GEMM per Arrow batch — no corpus shuffle, no self-join
+    (operators.similarity.cross_neardup_pairs)."""
+    from skysafe_datalake_spark.operators.similarity import cross_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    batch = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return cross_neardup_pairs(
+        corpus, batch, id_col="vec_id", vec="embedding", threshold=0.3
+    )

@@ -93,6 +93,7 @@ _ROUND2_PRIORITY = [
     "string_functions",
     "datetime_functions",
     "quality_repetition",
+    "embedding_crossdup",
 ]
 
 
