@@ -119,21 +119,23 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Time construction AND execution: some pipelines (KMeans fit,
+    # upsert writes) do real work eagerly while the plan is built —
+    # timing only the final action would under-report them. Min of 2
+    # runs, INTERLEAVED as two full passes over the query list: this
+    # box shows multi-minute noisy-neighbor stalls, and back-to-back
+    # runs of the same query let one stall swallow both samples (that
+    # inflated five BENCH_r02 entries ~10×). With full passes a stall
+    # lands on at most one sample per query, and min-of-passes recovers
+    # the reproducible engine cost.
     timings: dict[str, float] = {}
-    for name in names:
-        # Time construction AND execution: some pipelines (KMeans fit,
-        # upsert writes) do real work eagerly while the plan is built —
-        # timing only the final action would under-report them. Min of
-        # 2 runs: single measurements on a shared box catch GC /
-        # noisy-neighbor stalls worth many times the query itself; the
-        # min is the reproducible engine cost.
-        runs = []
-        for _ in range(2):
+    for _pass in range(2):
+        for name in names:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.perf_counter() - t0, 3))
-        timings[name] = min(runs)
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -153,7 +155,7 @@ def main() -> None:
                 # run eagerly), takes min-of-2 runs, and has a larger
                 # headline set — totals are not comparable across
                 # that boundary.
-                "timing": "construction+action, min of 2 runs",
+                "timing": "construction+action, min of 2 interleaved passes",
                 "n_queries": len(timings),
             }
         )

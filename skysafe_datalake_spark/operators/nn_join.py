@@ -129,6 +129,7 @@ def grid_nn_join(
     order_by: Column | None = None,
     tie_breakers: Sequence[str] = (),
     keep: Sequence[str] | None = None,
+    unmatched: str = "drop",
 ) -> DataFrame:
     """Nearest-neighbor join for right sides TOO LARGE TO BROADCAST:
     grid-cell candidate equi-join instead of a cross join.
@@ -162,11 +163,42 @@ def grid_nn_join(
     point (≥ ring·cell_deg along an axis). This holds whenever the
     right side has at least one point in every cell of the domain
     and ``ring >= 2`` (in-cell worst case ≈ 0.71·cell_deg <
-    2·cell_deg even after longitude cos-shrink up to ~60°). Left
-    rows with NO candidate in the ring are dropped — choose
-    cell_deg/ring from the right side's guaranteed density.
+    2·cell_deg even after longitude cos-shrink up to ~60°).
+
+    ``unmatched`` controls left rows with NO candidate in their ring
+    (a density-contract violation):
+
+    ``"drop"`` (default)
+        They are absent from the output — correct when cell_deg/ring
+        were chosen from the right side's guaranteed density.
+    ``"error"``
+        Raise ``ValueError`` with the dropped-row count: turns a
+        silent contract violation into a loud one. Costs one extra
+        anti-join count over the (cheap, post-argmin) result.
+    ``"broadcast"``
+        Route only the unmatched left rows through the exact
+        broadcast cross-join path and union them back — no row loss,
+        bounded extra cost (|unmatched| · |right| candidate pairs).
+        Note this repairs only ZERO-candidate rows; matched rows keep
+        their in-ring argmin, which equals the true NN only under the
+        density contract. ``distance`` must be built from name-based
+        column refs (``F.col``) so it resolves in both join shapes.
     """
     from skysafe_datalake_spark.operators.dedup import spread_to_cores
+
+    if unmatched not in ("drop", "error", "broadcast"):
+        raise ValueError(f"unknown unmatched policy {unmatched!r}")
+    if keep is not None:
+        keep_set = set(keep)
+        missing = [c for c in tie_breakers if c not in keep_set]
+        if order_by is None and distance_name not in keep_set:
+            missing.append(distance_name)
+        if missing:
+            raise ValueError(
+                "grid_nn_join keep= must retain the ranking columns; "
+                f"missing {missing!r} (tie_breakers, and distance_name "
+                "when order_by is None)"
+            )
 
     deltas = F.array(*[F.lit(d) for d in range(-ring, ring + 1)])
     # The join+distance+argmin-partial all run in the left scan's
@@ -202,4 +234,31 @@ def grid_nn_join(
         ]
         joined = joined.select(*cols)
     rank_on = order_by if order_by is not None else F.col(distance_name)
-    return _argmin(joined, partition_by, rank_on, tie_breakers)
+    result = _argmin(joined, partition_by, rank_on, tie_breakers)
+    if unmatched == "drop":
+        return result
+
+    unmatched_left = left.join(
+        result.select(*partition_by), list(partition_by), "left_anti"
+    )
+    if unmatched == "error":
+        n_dropped = unmatched_left.count()
+        if n_dropped:
+            raise ValueError(
+                f"grid_nn_join dropped {n_dropped} left rows with no "
+                f"candidate within ring={ring} of cell_deg={cell_deg} — "
+                "the right-side density contract is violated; widen the "
+                "ring/cells or use unmatched='broadcast'"
+            )
+        return result
+
+    fallback = nearest_neighbor_join(
+        unmatched_left,
+        right,
+        partition_by,
+        distance,
+        distance_name=distance_name,
+        order_by=order_by,
+        tie_breakers=tie_breakers,
+    )
+    return result.unionByName(fallback.select(*result.columns))

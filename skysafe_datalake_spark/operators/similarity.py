@@ -8,6 +8,8 @@ expressions, no Python in the loop.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -180,6 +182,7 @@ def block_neardup_pairs(
     spark = emb.sparkSession
     scale = float(10**round_digits)
 
+    n: int | None = None
     if strategy == "auto":
         n = emb.count()
         strategy = "gemm" if n <= max_broadcast_rows else "tiled"
@@ -193,8 +196,14 @@ def block_neardup_pairs(
     if strategy != "tiled":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     n_tiles = max(1, -(-n // max_broadcast_rows))
+    print(
+        f"# block_neardup_pairs: tiled over {n_tiles} tiles"
+        f" ({n} rows, {max_broadcast_rows} rows/tile)",
+        file=sys.stderr,
+    )
     tiles = emb.withColumn(
         "_tile", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles)).cast("int")
     )

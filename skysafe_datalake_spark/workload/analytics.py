@@ -299,7 +299,7 @@ minute_agg AS (
 )
 SELECT date_trunc('hour', minute_ts) AS hour_ts,
        COUNT(*) AS n_minutes,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        {dsum_sql('sum_value')} AS sum_value
 FROM minute_agg
 GROUP BY date_trunc('hour', minute_ts)
@@ -542,11 +542,11 @@ def _pr_iter_cte(i: int) -> str:
     return f"""
 r{i} AS (
   SELECT nd.node,
-         (15 * (SELECT b FROM base)
-          + 85 * COALESCE(s.sum_in, CAST(0 AS BIGINT))) // 100 AS r
+         CAST((15 * (SELECT b FROM base)
+          + 85 * COALESCE(s.sum_in, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS r
   FROM nodes nd
   LEFT JOIN (
-    SELECT e.dst AS node, SUM(p.r // d.outdeg) AS sum_in
+    SELECT e.dst AS node, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS sum_in
     FROM edges e
     JOIN r{i - 1} p ON p.node = e.src
     JOIN deg d ON d.node = e.src

@@ -1137,8 +1137,8 @@ tri AS (
   FROM toks WHERE len(ts) >= 3
 ),
 stats AS (
-  SELECT doc_id, SUM(cnt) AS n_tri, count(*) AS n_uniq,
-         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_in_dup
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tri, count(*) AS n_uniq,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_in_dup
   FROM (SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g) c
   GROUP BY doc_id
 )
@@ -1224,4 +1224,163 @@ def embedding_crossdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.where(F.col("vec_id") % 10 != 0)
     return cross_neardup_pairs(
         corpus, batch, id_col="vec_id", vec="embedding", threshold=0.3
+    )
+
+
+# ──────────────── corpus-level curation composites ───────────────
+
+
+@register(
+    "dedup_keep_canonical",
+    f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.*, band_key
+  FROM sig, unnest([{_BANDS_SQL}]) AS u(band_key)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id AND {_MATCH_SQL} >= 4
+),
+drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+""",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT: the filtered corpus, not the
+    pair list. Keep-first policy — a document is dropped iff some
+    LSH-candidate duplicate with a SMALLER doc_id exists (banded
+    MinHash, est. Jaccard >= 0.5). One-pass and shuffle-bounded by
+    the candidate pairs: no transitive closure needed, because every
+    non-minimal member of a duplicate chain has a direct candidate
+    edge to some smaller id with >= the chain's similarity. For
+    exact cluster-canonical semantics under sparser edge sets, feed
+    ``dedup_clusters``' components into the same anti-join instead.
+    Scale shape: LSH equi-join (never all-pairs) + a broadcast-able
+    drop-list anti-join (|drops| << |corpus| at web dedup rates)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=_N_HASHES)
+    pairs = D.minhash_lsh_pairs(
+        sigs, "doc_id", n_hashes=_N_HASHES, band_size=2, min_matching=4
+    )
+    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "lang_temperature_sample",
+    """
+WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+m AS (SELECT MIN(n_l) AS n_min FROM counts),
+rates AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_l AS DOUBLE))
+                    * 1048576) AS BIGINT) AS keep_below
+  FROM counts, m
+)
+SELECT d.doc_id, d.lang,
+       (d.doc_id * 2654435761) % 1048576 < r.keep_below AS keep
+FROM documents d JOIN rates r USING (lang)
+""",
+)
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual
+    data-mixing step: sample language l at rate ∝ p_l^(α-1) so
+    high-resource languages are downsampled, rarest kept whole).
+    α = 0.5 on purpose — the rate is then sqrt(n_min/n_l), and IEEE
+    sqrt/division are correctly rounded everywhere, so the sampling
+    threshold is BIT-IDENTICAL across engines (pow() with arbitrary
+    exponents is only 1-ulp-accurate and could flip a floor()).
+    The keep decision is a deterministic per-doc hash (Knuth
+    multiplicative mod 2^20) against the per-language threshold:
+    reproducible on any cluster layout, no RNG state. Scale shape:
+    5-row rate table broadcast onto the corpus scan — one job, no
+    extra shuffle over the data."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("n_min") / F.col("n_l")) * F.lit(1048576)
+        ).cast("long").alias("keep_below"),
+    )
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1048576)
+         < F.col("keep_below")).alias("keep"),
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+scored AS (
+  SELECT tok,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS nll_e6
+  FROM vocab, tot
+)
+SELECT t.doc_id, COUNT(*) AS n_toks,
+       CAST(SUM(s.nll_e6) AS BIGINT) AS nll_sum_e6,
+       CAST(SUM(s.nll_e6) AS BIGINT) / COUNT(*) / 1000000.0 AS mean_nll
+FROM toks t JOIN scored s USING (tok)
+GROUP BY t.doc_id
+""",
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-style quality score: mean per-token negative
+    log-likelihood under the corpus's own unigram distribution
+    (CCNet's perplexity filter with the LM reduced to unigrams —
+    boilerplate of common tokens scores low NLL, rare-token noise
+    scores high). Cross-engine exactness: each token's -ln(p) is
+    quantized ONCE to integer micro-nats in the (vocabulary-sized)
+    score table, so the per-document reduction is an integer SUM —
+    associative, partition-order-free — and the mean is derived from
+    the two integers. Scale shape: two hash aggregations over the
+    token stream plus a vocabulary-bounded broadcast join; nothing
+    grows with corpus size except the map-side-combined token
+    counts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(
+            -F.log(F.col("cnt") / F.col("total")) * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long").alias("nll_e6"),
+    )
+    return (
+        toks.join(F.broadcast(scored), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("nll_e6").alias("nll_sum_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "nll_sum_e6",
+            (F.col("nll_sum_e6") / F.col("n_toks") / F.lit(1000000.0)).alias(
+                "mean_nll"
+            ),
+        )
     )

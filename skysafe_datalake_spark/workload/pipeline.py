@@ -182,8 +182,17 @@ def batch_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Collecting the snapshot to build the payload mirrors the real
     topology — an API snapshot *is* one JSON document; everything
-    downstream of the raw layer is distributed."""
-    rows = synthetic_flights(load(spark, sf_dir, "events")).collect()
+    downstream of the raw layer is distributed. The collect is capped:
+    a snapshot is bounded by the number of simultaneously-airborne
+    aircraft (~1e4 worldwide), never table-sized — feeding a full-scale
+    table through this fixture path is a usage error, not a workload."""
+    cap = 2_000_000
+    rows = synthetic_flights(load(spark, sf_dir, "events")).limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"batch_pipeline_e2e fixture snapshot exceeds {cap} rows; "
+            "the e2e fixture models one API snapshot, not a bulk table"
+        )
     flights_client, weather_client = fixture_clients(states_payload(rows))
     tmp = tempfile.mkdtemp(prefix="skysafe_e2e_")
     try:
@@ -312,6 +321,59 @@ def ml_rules_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ml_kmeans_strata",
+    """
+SELECT event_id AS flight_id,
+       CASE CAST(event_id % 3 AS INTEGER)
+            WHEN 0 THEN 'Takeoff / Landing'
+            WHEN 1 THEN 'Climb / Descent'
+            ELSE 'Cruise' END AS flight_phase,
+       FALSE AS is_anomaly,
+       CAST(0.0 AS DOUBLE) AS anomaly_score
+FROM events
+""",
+)
+def ml_kmeans_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL ML stage down its KMEANS path (the twin of
+    ``ml_rules_fallback``, which forces the rules path) on a
+    population where the clustering outcome has a closed form the
+    oracle can state. Three zero-variance strata (event_id % 3) sit
+    many batch-σ apart in feature space, so: (1) the fitted centroids
+    coincide with the strata ⇒ max pairwise centroid separation ≫ 1.0
+    ⇒ the M4 gate must take the KMeans branch — enforced loudly below
+    so a silent fallback shows up as an error, not a plausible row;
+    (2) M5's altitude-sorted auto-labels are provable (alt 200 <
+    5500 < 11000 ⇒ Takeoff/Landing, Climb/Descent, Cruise); (3) every
+    distance-to-centroid is 0 to FP round-off and the three distance
+    values carry ~1/3 mass each, so the μ+2σ threshold can never flag
+    a row (a value exceeds μ+2σ of a ≤3-point distribution only below
+    20% mass) ⇒ is_anomaly all false, anomaly_score rounds to 0.0.
+    Cluster ids themselves are init-order-arbitrary, so
+    flight_phase_id is not part of the contract and is excluded."""
+    from skysafe_datalake_spark.ml.phase_kmeans import classify_phases
+
+    s = (F.col("event_id") % 3).cast("int")
+    flights = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("flight_id"),
+        F.when(s == 0, 70.0).when(s == 1, 150.0).otherwise(250.0)
+        .alias("velocity"),
+        F.when(s == 0, 200.0).when(s == 1, 5500.0).otherwise(11000.0)
+        .alias("baro_altitude"),
+        F.when(s == 1, 12.0).otherwise(0.0).alias("vertical_rate"),
+    )
+    result, info = classify_phases(flights)
+    if not info.used_kmeans:
+        raise AssertionError(
+            "ml_kmeans_strata: the centroid gate fell back to rules on "
+            f"3 well-separated strata (max_centroid_dist="
+            f"{info.max_centroid_dist}); the KMeans path is broken"
+        )
+    return result.select(
+        "flight_id", "flight_phase", "is_anomaly", "anomaly_score"
+    )
+
+
+@register(
     "phase_rules_labels",
     f"""
 WITH flights AS ({SYNTHETIC_FLIGHTS_SQL})
@@ -383,6 +445,79 @@ def streaming_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = spark.read.parquet(table).select(
             "user_id", "event_id", "ts", "value"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "streaming_static_join",
+    """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+dim AS (SELECT DISTINCT event_type,
+               upper(event_type) || '_CAT' AS category FROM e)
+SELECT date_trunc('hour', e.ts) AS window_start,
+       date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS window_end,
+       d.category,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM e JOIN dim d USING (event_type)
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming stream-static join: events flow
+    through a file-source ``readStream`` (availableNow), each
+    micro-batch broadcast-joins a static decode dimension — the
+    enrich-on-ingest topology (stream keeps flowing, dim never
+    shuffles) — then a watermarked tumbling event-time window
+    aggregates per category. The oracle replays the same dataflow as
+    one batch SQL statement: stream-static join semantics guarantee
+    batch/stream equivalence, and the decimal sum makes the float
+    output partition-order-free, which is exactly what makes this
+    streaming plan oracle-checkable."""
+    import uuid
+
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "category", F.concat(F.upper(F.col("event_type")), F.lit("_CAT"))
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="skysafe_stream_static_")
+    qn = f"stream_static_{uuid.uuid4().hex[:8]}"
+    try:
+        e.write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(e.schema).parquet(f"{tmp}/in")
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .join(F.broadcast(dim), "event_type")
+            .groupBy(F.window("ts", "1 hour"), "category")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(qn).select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "category",
+            "n_events",
+            "sum_value",
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -35,75 +35,54 @@ from skysafe_datalake_spark.workload import curation  # noqa: E402,F401
 from skysafe_datalake_spark.workload import pipeline  # noqa: E402,F401
 
 # The external correctness gate checks the FIRST 50 registered queries per
-# round. Round 1 verified registration slots 0-49 (domain/relational/llm_ops/
-# temporal + 2 advanced); this priority list rotates the remaining queries --
-# plus round-2 fixes and additions -- into the checked window so that every
-# query accumulates a hard verification row across rounds. Queries not listed
-# here keep their import order after the priority block; all of them remain
-# covered by tests/test_oracle_parity.py locally regardless of position.
-_ROUND2_PRIORITY = [
-    # advanced tail (unverified in round 1)
-    "grouping_cube",
-    "salted_skew_agg",
-    "decode_map_join",
-    "window_moving_avg",
-    "session_window_agg",
-    "ann_ivf_topk",
-    "array_functions",
-    "window_navigation",
-    "unpivot_long",
-    # analytics (unverified in round 1)
-    "stats_correlation",
-    "histogram_fixed_width",
-    "terms_agg_topn",
-    "gap_fill_forward",
-    "join_full_outer",
-    "tfidf_top_terms",
-    "rollup_hierarchy",
-    "fuzzy_levenshtein_match",
-    "collect_ordered",
-    "window_range_frame",
-    "tpch_q3_like",
-    # curation (unverified in round 1)
-    "pii_redact",
-    "profile_table",
-    "scd2_intervals",
-    "dedup_clusters",
-    "pit_join_scd2",
-    "iqr_outlier_filter",
-    # round-1 harness errors, re-registered with hashable output shapes
-    "multimodal_byte_features",
-    "embedding_quantize",
-    # new in round 2
-    "batch_pipeline_e2e",
-    "ml_rules_fallback",
-    "phase_rules_labels",
-    "streaming_upsert_partitioned",
-    "scd2_merge_upsert",
-    "contamination_ngram_overlap",
-    "window_distribution",
-    "tpch_q5_like_sql",
-    "embedding_l2_normalize",
-    "nn_station_grid",
-    "llm_corpus_prep",
-    "multimodal_frame_sample",
-    "gap_detect",
-    "pagerank_integer",
-    "window_rank_ties",
-    "string_functions",
-    "datetime_functions",
-    "quality_repetition",
-    "embedding_crossdup",
-]
+# round, and the testdata it runs against is regenerated between rounds (its
+# physical types have drifted before), so a green row goes stale with age.
+# Instead of a hand-maintained rotation list, order the registry stalest-first
+# from the CORRECTNESS_r*.json files the gate itself writes: queries with no
+# green row ever come first (new queries and red rows get checked immediately),
+# then ascending by the latest round that verified them. Import order breaks
+# ties, so the ordering is deterministic and self-maintaining round over round.
+# All queries stay covered by tests/test_oracle_parity.py locally regardless
+# of window position.
 
 
-def _apply_priority_order() -> None:
-    ordered = {n: QUERIES[n] for n in _ROUND2_PRIORITY if n in QUERIES}
-    for n, fn in QUERIES.items():
-        if n not in ordered:
-            ordered[n] = fn
+def _green(row: dict) -> bool:
+    if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+        return True
+    # no_oracle queries get a rows-only check; a recorded row count is the
+    # strongest signal the gate can produce for them.
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def _latest_green_round() -> dict[str, int]:
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    repo_root = Path(__file__).resolve().parents[2]
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _green(row):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _apply_staleness_order() -> None:
+    latest = _latest_green_round()
+    import_idx = {n: i for i, n in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda n: (latest.get(n, 0), import_idx[n]))
+    reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
-    QUERIES.update(ordered)
+    QUERIES.update(reordered)
 
 
-_apply_priority_order()
+_apply_staleness_order()

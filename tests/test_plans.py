@@ -252,3 +252,45 @@ def test_grid_nn_join_avoids_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_cx" in plan and "_cy" in plan  # the cell equi-join key
     assert "partial_min" in plan  # argmin combines map-side
+
+
+def test_grid_nn_join_unmatched_policies(spark):
+    """With a right side too sparse for the ring (density-contract
+    violation), the default drops the orphan left row; 'error' raises
+    with the dropped count; 'broadcast' routes the orphans through the
+    exact cross-join path so no row is lost. Also: a keep= whitelist
+    missing the ranking columns must fail fast, not deep in argmin."""
+    import pytest
+
+    from skysafe_datalake_spark.functions.geo import haversine_km
+    from skysafe_datalake_spark.operators.nn_join import grid_nn_join
+
+    left = spark.createDataFrame(
+        [(1, 45.0, 2.0), (2, 45.1, 2.1), (3, 10.0, 70.0)],
+        "fid long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [(100, 45.05, 2.05), (200, 44.9, 1.9)],
+        "sid long, s_lat double, s_lon double",
+    )
+    kwargs = dict(
+        partition_by=["fid"],
+        left_lat="lat", left_lon="lon",
+        right_lat="s_lat", right_lon="s_lon",
+        distance=haversine_km("lat", "lon", "s_lat", "s_lon"),
+        cell_deg=0.5, ring=2,
+    )
+
+    dropped = grid_nn_join(left, right, **kwargs)
+    assert sorted(r["fid"] for r in dropped.collect()) == [1, 2]
+
+    with pytest.raises(ValueError, match="dropped 1 left rows"):
+        grid_nn_join(left, right, unmatched="error", **kwargs)
+
+    full = grid_nn_join(left, right, unmatched="broadcast", **kwargs)
+    rows = {r["fid"]: r["sid"] for r in full.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3] == 100  # true NN recovered via the fallback path
+
+    with pytest.raises(ValueError, match="keep= must retain"):
+        grid_nn_join(left, right, keep=["sid"], **kwargs)
