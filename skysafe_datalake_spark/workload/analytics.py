@@ -627,3 +627,103 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.localCheckpoint(eager=False)
 
     return ranks.select("node", F.col("r").alias("rank_ppb"))
+
+
+# ─────────────────── triangle counting (degree-oriented) ─────────
+
+_TRI_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+),
+raw_edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM raw_edges
+    UNION ALL
+    SELECT v AS node FROM raw_edges
+  ) ends GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b
+  FROM raw_edges e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+)
+SELECT e1.a AS pivot_node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM oriented e1
+JOIN oriented e2 ON e2.a = e1.a AND e1.b < e2.b
+JOIN raw_edges e3 ON e3.u = e1.b AND e3.v = e2.b
+GROUP BY e1.a
+ORDER BY n_tri DESC, pivot_node
+LIMIT 20
+"""
+
+
+@register("graph_triangles", _TRI_SQL)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the supplier co-occurrence graph (edge =
+    two suppliers fill the same order), via the degree-oriented
+    node-iterator algorithm: orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges
+    only from each edge's SOURCE, and close them against the
+    canonical (u<v) edge list. Each triangle is then counted exactly
+    once — at its unique pivot (the node whose two edges both point
+    outward). Output: the 20 busiest pivots with their triangle
+    counts (deterministic tie-break on node id).
+
+    Why this shape at scale: naive wedge enumeration is Σ deg², which
+    a single celebrity node turns into a quadratic blowup; orienting
+    by degree caps per-node fan-out at O(√|E|), the classic bound —
+    the orientation costs two broadcast-sized joins against the
+    degree table, and wedge closure is an equi-join on (b1, b2), all
+    shuffle-partitionable, no driver state. Pure integer/equi-join
+    plan, so the oracle's unrolled twin is bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    raw_edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    ends = raw_edges.select(F.col("u").alias("node")).unionAll(
+        raw_edges.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    e = raw_edges.alias("e")
+    du, dv = deg.alias("du"), deg.alias("dv")
+    lower_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("e.u") < F.col("e.v"))
+    )
+    oriented = (
+        e.join(F.broadcast(du), F.col("du.node") == F.col("e.u"))
+        .join(F.broadcast(dv), F.col("dv.node") == F.col("e.v"))
+        .select(
+            F.when(lower_first, F.col("e.u")).otherwise(F.col("e.v")).alias("a"),
+            F.when(lower_first, F.col("e.v")).otherwise(F.col("e.u")).alias("b"),
+        )
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    e3 = raw_edges.alias("e3")
+    return (
+        e1.join(
+            e2,
+            (F.col("e2.a") == F.col("e1.a")) & (F.col("e1.b") < F.col("e2.b")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.b")) & (F.col("e3.v") == F.col("e2.b")),
+        )
+        .groupBy(F.col("e1.a").alias("pivot_node"))
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "pivot_node")
+        .limit(20)
+    )

@@ -7,7 +7,7 @@ documents/embeddings tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from skysafe_datalake_spark.functions import text as T
@@ -1383,4 +1383,163 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_nll"
             ),
         )
+    )
+
+
+# ─────────────── block-level exact dedup (reconstructing) ────────
+
+_BLOCK_W = 8  # words per block
+
+_BLOCK_DEDUP_SQL = f"""
+WITH doc_words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+blockix AS (
+  SELECT doc_id, ws,
+         CAST(unnest(range(CAST(ceil(len(ws) / {_BLOCK_W}.0) AS BIGINT)))
+              AS BIGINT) AS bi
+  FROM doc_words
+),
+blocks AS (
+  SELECT doc_id, bi,
+         array_to_string(ws[bi*{_BLOCK_W}+1 : bi*{_BLOCK_W}+{_BLOCK_W}], ' ')
+           AS block
+  FROM blockix
+),
+kept AS (
+  SELECT doc_id, bi, block,
+         row_number() OVER (PARTITION BY block ORDER BY doc_id, bi) AS rn
+  FROM blocks
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM blocks GROUP BY doc_id
+)
+SELECT k.doc_id,
+       string_agg(k.block, ' ' ORDER BY k.bi) AS dedup_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(t.n_total) AS n_total
+FROM kept k
+JOIN tot t ON t.doc_id = k.doc_id
+WHERE k.rn = 1
+GROUP BY k.doc_id
+"""
+
+
+@register("block_dedup_reconstruct", _BLOCK_DEDUP_SQL)
+def block_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup with reconstruction — the
+    paragraph-dedup stage of a pretraining pipeline (fixed 8-word
+    blocks stand in for paragraphs on the single-line synthetic
+    corpus): split every document into blocks, keep only each
+    block's FIRST global occurrence (ordered by doc_id, then block
+    index), and stitch the survivors back into a deduplicated
+    document. Documents whose every block is a repeat drop out
+    entirely.
+
+    Scale shape: block extraction is per-row array code (sequence →
+    slice → array_join, zero shuffle); first-occurrence selection is
+    ONE shuffle keyed on the block text (skew-safe: a block repeated
+    billions of times still reduces map-side via the row_number
+    window's sort within its partition — for pathological skew swap
+    in a min_by aggregation, same semantics); reconstruction is one
+    more shuffle on doc_id. No driver materialization at any point.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = _BLOCK_W
+    blocks = docs.select(
+        "doc_id",
+        F.expr(
+            f"""inline(transform(
+                  sequence(0, cast(ceil(size(split(text,' ')) / {w}.0) as int) - 1),
+                  bi -> struct(
+                    cast(bi as bigint) as bi,
+                    array_join(slice(split(text,' '), bi*{w}+1, {w}), ' ')
+                      as block)))"""
+        ),
+    )
+    first = Window.partitionBy("block").orderBy("doc_id", "bi")
+    kept = (
+        blocks.withColumn("rn", F.row_number().over(first))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = blocks.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bi", "block"))),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .select("doc_id", "dedup_text", "n_kept", "n_total")
+    )
+
+
+# ─────────────── sequence packing (concat-and-split) ─────────────
+
+_CTX = 256  # tokens per packed training sequence
+
+_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS BIGINT) AS start_off
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_off,
+       start_off // {_CTX} AS seq_id,
+       start_off % {_CTX} AS pos_in_seq
+FROM packed
+"""
+
+
+@register("sequence_packing", _PACKING_SQL)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, concat-and-split style: documents
+    are laid end-to-end in a deterministic order and the token
+    stream is cut into fixed {ctx}-token context windows; each
+    document gets its byte-stream start offset, the sequence id it
+    starts in, and its offset within that sequence (documents may
+    straddle a boundary — the downstream batcher splits them, same
+    as GPT-style pretraining packers).
+
+    Scale shape: packing is per-SHARD (PARTITION BY source), so the
+    running-sum window parallelizes across shards instead of forcing
+    one global sort — the layout real pipelines use (pack within a
+    shard, name sequences (shard, seq_id)). Token counts are pure
+    per-row expressions; the only shuffle is the window's
+    hash-partition on source. Integer arithmetic end to end."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    packed = toks.withColumn(
+        "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off div {_CTX}").alias("seq_id"),
+        (F.col("start_off") % _CTX).alias("pos_in_seq"),
     )

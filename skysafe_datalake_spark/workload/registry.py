@@ -31,6 +31,8 @@ from skysafe_datalake_spark.workload import llm_ops  # noqa: E402,F401
 from skysafe_datalake_spark.workload import temporal  # noqa: E402,F401
 from skysafe_datalake_spark.workload import advanced  # noqa: E402,F401
 from skysafe_datalake_spark.workload import analytics  # noqa: E402,F401
+from skysafe_datalake_spark.workload import tpch  # noqa: E402,F401
+from skysafe_datalake_spark.workload import sketches  # noqa: E402,F401
 from skysafe_datalake_spark.workload import curation  # noqa: E402,F401
 from skysafe_datalake_spark.workload import pipeline  # noqa: E402,F401
 

@@ -1,0 +1,229 @@
+"""Deterministic mergeable sketches (KMV distinct-count, count-min).
+
+At 100 TB you estimate cardinalities and frequencies with sketches,
+not exact aggregations. Spark's built-ins (approx_count_distinct's
+HyperLogLog++, count_min_sketch) are real but their binary state is
+engine-specific, so a DuckDB oracle can't verify them. These two
+operators implement the same sketch algorithms from scratch on a
+PORTABLE hash — md5, which both engines compute identically — so the
+driver gate hash-checks the full sketch math end to end:
+
+- KMV (k-minimum-values): keep the k smallest hash values per group;
+  distinct-count estimate = (k-1) / fraction-of-hash-space covered.
+  Mergeable (union = k smallest of the union), one shuffle per group.
+- Count-min: d independent hash rows × w buckets of counters;
+  frequency estimate = min over rows of the hit bucket. The sketch
+  is a fixed d·w-cell table no matter the input size, built with one
+  map-side-combined aggregation.
+
+Both use only integer arithmetic after hashing, so results are
+bit-identical on any partitioning and against the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skysafe_datalake_spark.workload.registry import register
+from skysafe_datalake_spark.workload.tables import load
+
+_HEX = "0123456789abcdef"
+
+
+def hex_int_sql(expr: str, n: int) -> str:
+    """SQL for the first ``n`` hex digits of ``expr`` (a lowercase hex
+    string) as a BIGINT — identical text works in Spark SQL and DuckDB
+    (both expose ``instr(haystack, needle)`` with the same argument
+    order). n ≤ 15 keeps the value < 16^15 < 2^63."""
+    # Constants as BIGINT: Spark 4 runs ANSI mode, where INT·INT
+    # overflows hard at 16^8 instead of widening.
+    terms = [
+        f"(instr('{_HEX}', substr({expr}, {i + 1}, 1)) - 1) * "
+        f"CAST({16 ** (n - 1 - i)} AS BIGINT)"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ───────────────────────── KMV distinct sketch ───────────────────
+
+_KMV_K = 32
+_KMV_DIGITS = 12  # hash space = 16^12
+_KMV_SPACE = 16**_KMV_DIGITS
+
+_KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT lang, {hex_int_sql('md5(text)', _KMV_DIGITS)} AS h
+  FROM documents
+),
+ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_hashes
+  FROM hashes
+),
+exact AS (
+  SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+  FROM documents GROUP BY lang
+)
+SELECT e.lang,
+       e.exact_distinct,
+       MAX(CASE WHEN r.rn = {_KMV_K} THEN r.h END) AS kth_hash,
+       CAST(COALESCE(
+         ({_KMV_K} - 1) * CAST({_KMV_SPACE} AS BIGINT)
+           // MAX(CASE WHEN r.rn = {_KMV_K} THEN r.h END),
+         MIN(r.n_hashes)) AS BIGINT) AS kmv_estimate
+FROM exact e
+JOIN ranked r ON r.lang = e.lang
+WHERE r.rn <= {_KMV_K}
+GROUP BY e.lang, e.exact_distinct
+"""
+
+
+@register("kmv_distinct_sketch", _KMV_SQL)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-document estimate via a K-minimum-values
+    sketch (k=32) over md5, next to the exact count for error
+    inspection. Groups with fewer than k distinct hashes fall back to
+    their exact hash count (the KMV rule: a non-full sketch IS
+    exact). Estimate = (k−1)·|space| / h_k in pure integer math.
+
+    Scale shape: the per-group k-smallest selection is a row_number
+    window — at cluster scale the same sketch is built as a proper
+    partial aggregate (per-partition top-k arrays merged
+    associatively), which this formulation's DISTINCT+window plan
+    already approximates with one shuffle on lang; the estimate
+    itself touches k rows per group. The exact COUNT(DISTINCT) rides
+    along only as the quality reference."""
+    docs = load(spark, sf_dir, "documents")
+    hashes = docs.select(
+        "lang", F.expr(hex_int_sql("md5(text)", _KMV_DIGITS)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    ranked = hashes.select(
+        "lang",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).cast("bigint").alias(
+            "n_hashes"
+        ),
+    ).where(F.col("rn") <= _KMV_K)
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").cast("bigint").alias("exact_distinct")
+    )
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h")))
+    return (
+        exact.join(ranked, "lang")
+        .groupBy("lang", "exact_distinct")
+        .agg(
+            kth.alias("kth_hash"),
+            F.coalesce(
+                F.expr(
+                    f"(({_KMV_K} - 1) * cast({_KMV_SPACE} as bigint))"
+                    f" div max(case when rn = {_KMV_K} then h end)"
+                ),
+                F.min("n_hashes"),
+            )
+            .cast("bigint")
+            .alias("kmv_estimate"),
+        )
+        .select("lang", "exact_distinct", "kth_hash", "kmv_estimate")
+    )
+
+
+# ───────────────────────── count-min sketch ──────────────────────
+
+_CMS_D = 3  # hash rows
+_CMS_W = 128  # buckets per row
+_CMS_DIGITS = 8
+_CMS_TOP = 15
+
+
+def _cms_bucket_sql(word_expr: str, row: int) -> str:
+    h = hex_int_sql(f"md5('{row}:' || {word_expr})", _CMS_DIGITS)
+    return f"({h} % {_CMS_W})"
+
+
+_CMS_ROWS_UNION = "\nUNION ALL\n".join(
+    f"SELECT word, {r} AS rid, {_cms_bucket_sql('word', r)} AS bucket FROM toks"
+    for r in range(_CMS_D)
+)
+
+_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+cells AS (
+  SELECT rid, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({_CMS_ROWS_UNION}) hashed
+  GROUP BY rid, bucket
+),
+exact AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY word
+),
+top AS (
+  SELECT word, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, word LIMIT {_CMS_TOP}
+),
+lookups AS (
+  {_CMS_ROWS_UNION.replace("FROM toks", "FROM top")}
+)
+SELECT t.word, t.exact_cnt, MIN(c.cnt) AS cms_cnt
+FROM top t
+JOIN lookups l ON l.word = t.word
+JOIN cells c ON c.rid = l.rid AND c.bucket = l.bucket
+GROUP BY t.word, t.exact_cnt
+"""
+
+
+@register("countmin_heavyhitters", _CMS_SQL)
+def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (d=3 rows × w=128 buckets) over the
+    corpus token stream, read back for the true top-15 tokens next to
+    their exact counts (CMS guarantees estimate ≥ exact; collisions
+    only inflate). Hash row r of token t = first 8 hex digits of
+    md5('r:' || t) mod w — portable across engines.
+
+    Scale shape: the sketch build is ONE aggregation producing at
+    most d·w = 384 cells regardless of corpus size, with map-side
+    combine doing almost all the work (each executor reduces its
+    partitions to ≤384 partial cells before the shuffle). The sketch
+    is associatively mergeable — streaming micro-batches can add
+    cell counts. Token explosion is per-row array code, zero
+    shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    hashed = None
+    for r in range(_CMS_D):
+        part = toks.select(
+            "word",
+            F.lit(r).alias("rid"),
+            F.expr(_cms_bucket_sql("word", r)).alias("bucket"),
+        )
+        hashed = part if hashed is None else hashed.unionAll(part)
+    cells = hashed.groupBy("rid", "bucket").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    exact = toks.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "word").limit(_CMS_TOP)
+    lookups = None
+    for r in range(_CMS_D):
+        part = top.select(
+            "word",
+            F.lit(r).alias("rid"),
+            F.expr(_cms_bucket_sql("word", r)).alias("bucket"),
+        )
+        lookups = part if lookups is None else lookups.unionAll(part)
+    return (
+        top.join(lookups, "word")
+        .join(F.broadcast(cells), ["rid", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_cnt"))
+        .select("word", "exact_cnt", "cms_cnt")
+    )
