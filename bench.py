@@ -74,6 +74,17 @@ HEADLINE = [
     "multimodal_frame_sample",
     "pagerank_integer",
     "gap_detect",
+    # round 3 additions
+    "tpch_q13_like",
+    "tpch_q17_like",
+    "tpch_q21_like",
+    "snapshot_diff_cdc",
+    "block_dedup_reconstruct",
+    "sequence_packing",
+    "kmv_distinct_sketch",
+    "countmin_heavyhitters",
+    "graph_triangles",
+    "zorder_tile_stats",
 ]
 
 

@@ -631,13 +631,18 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ─────────────────── triangle counting (degree-oriented) ─────────
 
+_TRI_BACKBONE = 5000
+
 _TRI_SQL = """
 WITH pairs AS (
   SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
 ),
 raw_edges AS (
-  SELECT DISTINCT a.s AS u, b.s AS v
+  SELECT a.s AS u, b.s AS v
   FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY a.s, b.s
+  ORDER BY COUNT(*) DESC, a.s, b.s
+  LIMIT 5000
 ),
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
@@ -674,8 +679,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     only from each edge's SOURCE, and close them against the
     canonical (u<v) edge list. Each triangle is then counted exactly
     once — at its unique pivot (the node whose two edges both point
-    outward). Output: the 20 busiest pivots with their triangle
-    counts (deterministic tie-break on node id).
+    outward). The graph is the TOP-5000-weight backbone of the
+    co-occurrence relation (pairs ranked by shared-order count,
+    deterministic (count, u, v) cut): raw co-occurrence densifies
+    toward a complete graph as data grows — |pairs| is quadratic in
+    suppliers-per-order — so an unthresholded triangle count is a
+    quadratic-blowup trap at scale; the fixed-size strongest-edge
+    backbone is how production graph pipelines keep it bounded (the
+    top-K is a TakeOrderedAndProject, never a global sort). Output:
+    the 20 busiest pivots with their triangle counts (deterministic
+    tie-break on node id).
 
     Why this shape at scale: naive wedge enumeration is Σ deg², which
     a single celebrity node turns into a quadratic blowup; orienting
@@ -691,8 +704,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = pairs.alias("a"), pairs.alias("b")
     raw_edges = (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.desc("w"), "u", "v")
+        .limit(_TRI_BACKBONE)
+        .select("u", "v")
     )
     ends = raw_edges.select(F.col("u").alias("node")).unionAll(
         raw_edges.select(F.col("v").alias("node"))
@@ -726,4 +742,80 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_tri"))
         .orderBy(F.desc("n_tri"), "pivot_node")
         .limit(20)
+    )
+
+
+# ─────────────────── z-order layout (data skipping) ──────────────
+
+def _z_interleave_sql(x: str, y: str, bits: int, intdiv: str) -> str:
+    """Morton interleave of two bucketized ints as portable SQL;
+    ``intdiv`` is the dialect's integer-division operator ('div' for
+    Spark, '//' for DuckDB) — the only token the dialects disagree
+    on."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ztile_sql(intdiv: str) -> str:
+    z = _z_interleave_sql("x", "y", 8, intdiv)
+    return f"""
+WITH dims AS (
+  SELECT CAST(MAX(l_partkey) + 1 AS BIGINT) AS np,
+         CAST(MAX(l_suppkey) + 1 AS BIGINT) AS ns
+  FROM lineitem
+),
+pts AS (
+  SELECT (l_partkey * 256) {intdiv} np AS x,
+         (l_suppkey * 256) {intdiv} ns AS y
+  FROM lineitem, dims
+),
+z AS (SELECT x, y, {z} AS zval FROM pts)
+SELECT zval {intdiv} 256 AS ztile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+FROM z
+GROUP BY zval {intdiv} 256
+"""
+
+
+@register("zorder_tile_stats", _ztile_sql("//"))
+def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order clustering layout, verified end to end: bucketize
+    (l_partkey, l_suppkey) to an 8-bit grid, Morton-interleave the
+    bits (operators/zorder.zorder_key's curve), and report per
+    256-key tile the row count and the min/max span of BOTH
+    dimensions. The output is the data-skipping proof itself: every
+    tile's span is ≤ 16 in x AND y (a 16×16 tile of the curve), so a
+    writer that range-partitions files on this key gives every file
+    parquet footer stats tight in both columns — predicates on either
+    prune files. The oracle recomputes the identical curve, so the
+    bit math is cross-engine exact.
+
+    Scale shape: the key is pure shift/mask codegen; the tile stats
+    are one hash aggregation; the real write path
+    (zorder.zorder_write) adds one range shuffle. The 1-row dims
+    aggregate broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    dims = li.agg(
+        (F.max("l_partkey") + 1).cast("bigint").alias("np"),
+        (F.max("l_suppkey") + 1).cast("bigint").alias("ns"),
+    )
+    pts = li.crossJoin(F.broadcast(dims)).select(
+        F.expr("(l_partkey * 256) div np").alias("x"),
+        F.expr("(l_suppkey * 256) div ns").alias("y"),
+    )
+    z = pts.withColumn("zval", F.expr(_z_interleave_sql("x", "y", 8, "div")))
+    return (
+        z.groupBy(F.expr("zval div 256").alias("ztile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
     )

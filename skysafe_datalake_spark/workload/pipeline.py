@@ -522,3 +522,162 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ─────────── transformWithState: arbitrary stateful op ───────────
+
+_TWS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY user_id
+"""
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire format for
+    its Python<->JVM state API; absent in this container, the
+    operator transparently uses applyInPandasWithState (Arrow-only,
+    same per-key arbitrary-state semantics)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@register("streaming_stateful_running_agg", _TWS_SQL)
+def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL arbitrary-state streaming: events replay through a
+    file-source readStream in multiple micro-batches
+    (maxFilesPerTrigger=1 over a 4-file input) and a custom stateful
+    processor keeps one (n, cents) state per user in the state store,
+    emitting the running cumulative totals whenever the key appears.
+    The final per-user snapshot (max of the monotone emissions) must
+    equal the one-shot batch aggregate — the oracle — no matter how
+    the stream was micro-batched: the exactly-once state contract.
+
+    Two engine paths, picked by capability probe: Spark 4's
+    transformWithStateInPandas + RocksDB state store when the
+    protobuf dependency is present, else applyInPandasWithState
+    (Arrow-only) with identical semantics — the operator's contract
+    and this oracle hold for both. This is the upgrade path for the
+    reference's per-minute keyed recompute (SURVEY.md §2.10): state
+    lives in the store partitioned by user_id across executors, each
+    batch touches only the keys it contains, no driver state; money
+    in integer cents so merge order can't produce float drift."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def _stateful(stream):
+        if _tws_available():
+            from pyspark.sql.streaming.stateful_processor import (
+                StatefulProcessor,
+                StatefulProcessorHandle,
+            )
+
+            class RunningAgg(StatefulProcessor):
+                def init(self, handle: StatefulProcessorHandle) -> None:
+                    self._state = handle.getValueState("agg", state_schema)
+
+                def handleInputRows(self, key, rows, timerValues):
+                    n, cents = (
+                        self._state.get() if self._state.exists() else (0, 0)
+                    )
+                    for pdf in rows:
+                        n += len(pdf)
+                        cents += int(pdf["cents"].sum())
+                    self._state.update((n, cents))
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "n_events": [n],
+                            "sum_cents": [cents],
+                        }
+                    )
+
+                def close(self) -> None:
+                    pass
+
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+            return stream.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=RunningAgg(),
+                outputStructType=out_schema,
+                outputMode="Append",
+                timeMode="None",
+            )
+
+        def update(key, pdfs, state):
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="skysafe_tws_")
+    qn = f"tws_{uuid.uuid4().hex[:8]}"
+    try:
+        e.repartition(4).write.parquet(f"{tmp}/in")
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q = (
+            _stateful(stream)
+            .writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(qn)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("sum_cents").alias("sum_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

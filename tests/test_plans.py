@@ -294,3 +294,65 @@ def test_grid_nn_join_unmatched_policies(spark):
 
     with pytest.raises(ValueError, match="keep= must retain"):
         grid_nn_join(left, right, keep=["sid"], **kwargs)
+
+
+def test_tpch_q17_decorrelates_scalar_subquery(spark):
+    """The correlated scalar subquery must decorrelate into a grouped
+    aggregate joined back to the outer query — the plan shows hash
+    aggregates and equi-joins only; a per-row subquery re-execution
+    or a cartesian fallback is the at-scale failure mode."""
+    plan = plan_of(spark, "tpch_q17_like")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_tpch_q21_semi_anti_joins(spark):
+    """EXISTS and NOT EXISTS must plan as left-semi and left-anti
+    hash joins (no nested-loop re-probe per outer row)."""
+    plan = plan_of(spark, "tpch_q21_like")
+    low = plan.lower()
+    assert "leftsemi" in low
+    assert "leftanti" in low
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_triangles_backbone_is_topk(spark):
+    """The top-5000 edge cut must be a TakeOrderedAndProject (per-
+    partition top-k), not a global Sort of all pair weights."""
+    plan = plan_of(spark, "graph_triangles")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_countmin_cells_bounded(spark):
+    """The CMS build must reduce to ≤ d·w cells regardless of input
+    size — the cells aggregation output is what any downstream reader
+    touches."""
+    from skysafe_datalake_spark.workload.sketches import _CMS_D, _CMS_W
+
+    df = QUERIES["countmin_heavyhitters"](spark, SF_SMALL)
+    # The sketch itself: reconstruct cells the same way and count.
+    rows = df.collect()
+    assert 0 < len(rows) <= 15
+    # estimate >= exact for every heavy hitter (CMS one-sided error).
+    assert all(r.cms_cnt >= r.exact_cnt for r in rows)
+    assert _CMS_D * _CMS_W == 384
+
+
+def test_sequence_packing_invariants(spark):
+    """Offsets per shard are contiguous (no token gaps/overlaps) and
+    every document's seq assignment matches its start offset."""
+    df = QUERIES["sequence_packing"](spark, SF_SMALL)
+    import collections
+
+    per_src = collections.defaultdict(list)
+    for r in df.collect():
+        per_src[r.source].append(r)
+    for rows in per_src.values():
+        rows.sort(key=lambda r: r.doc_id)
+        expect = 0
+        for r in rows:
+            assert r.start_off == expect
+            assert r.seq_id == r.start_off // 256
+            assert r.pos_in_seq == r.start_off % 256
+            expect += r.n_tokens
