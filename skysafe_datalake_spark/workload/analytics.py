@@ -819,3 +819,139 @@ def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("bigint").alias("max_y"),
         )
     )
+
+
+# ─────────────────── BM25 retrieval ranking ──────────────────────
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("table", "spark", "window")
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+),
+qterms AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}) t(term)),
+df AS (
+  SELECT t.tok AS term, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS df
+  FROM toks t JOIN qterms q ON q.term = t.tok
+  GROUP BY t.tok
+),
+tf AS (
+  SELECT t.doc_id, t.tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN qterms q ON q.term = t.tok
+  GROUP BY t.doc_id, t.tok
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+              / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf.tf AS DOUBLE)
+              + {_BM25_K1} * (1.0 - {_BM25_B}
+                 + {_BM25_B} * CAST(dl.dl AS DOUBLE)
+                   * CAST(s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS term_score_e6
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM(term_score_e6) AS BIGINT) AS score_e6
+FROM scored
+GROUP BY doc_id
+ORDER BY score_e6 DESC, doc_id
+LIMIT 50
+"""
+
+
+@register("bm25_topk", _BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-50 retrieval for a fixed 3-term query
+    (k1=1.2, b=0.75) — the serving-side ranking read a corpus engine
+    must answer. Cross-engine exactness uses the micro-nat trick
+    (cf. unigram_logprob_score): each (doc, term) partial score is a
+    fixed IEEE expression tree — ln/idf, tf saturation, the
+    length-normalized denominator with avgdl folded in as
+    dl·N/Σdl — quantized ONCE to integer micro-units; the
+    per-document reduction is then an associative integer SUM, and
+    the top-50 cut is TakeOrderedAndProject with doc_id tie-break.
+
+    Scale shape: the inverted-index pieces (df, tf) are hash
+    aggregations over the token stream FILTERED to the query terms —
+    the term filter is a broadcast semi-join, so the big stream never
+    shuffles on anything wider than (doc_id, term); doc lengths and
+    corpus stats are one aggregation each, stats a 1-row broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    qterms = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    hits = toks.join(
+        F.broadcast(qterms), toks["tok"] == qterms["term"]
+    ).select("doc_id", "term")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    df_t = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b)
+        * F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("sum_dl").cast("double")
+    )
+    term_score = F.floor(
+        idf
+        * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / denom
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score_e6"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hit_terms"),
+            F.sum("term_score_e6").cast("bigint").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), "doc_id")
+        .limit(50)
+    )

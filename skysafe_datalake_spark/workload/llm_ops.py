@@ -15,6 +15,7 @@ from skysafe_datalake_spark.operators import dedup as D
 from skysafe_datalake_spark.operators import multimodal as MM
 from skysafe_datalake_spark.operators.similarity import cosine, cosine_topk
 from skysafe_datalake_spark.workload.registry import register
+from skysafe_datalake_spark.workload.sketches import hex_int_sql
 from skysafe_datalake_spark.workload.tables import load, pround
 
 # ───────────────────────── dedup family ──────────────────────────
@@ -1542,4 +1543,67 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_off",
         F.expr(f"start_off div {_CTX}").alias("seq_id"),
         (F.col("start_off") % _CTX).alias("pos_in_seq"),
+    )
+
+
+# ─────────────── deterministic corpus shuffle ────────────────────
+
+_SHUF_SHARDS = 16
+_SHUF_SALT = "epoch0"
+
+_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{_SHUF_SALT}:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, skey,
+         {hex_int_sql("skey", 4)} % {_SHUF_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY substr(skey, 5), doc_id
+       ) AS BIGINT) AS pos_in_shard
+FROM sharded
+"""
+
+
+@register("corpus_shuffle_order", _SHUFFLE_SQL)
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    every epoch's data order must be (a) statistically shuffled,
+    (b) reproducible from a seed, (c) computable WITHOUT a global
+    sort. Each document gets a salt-keyed md5; the first 4 hex digits
+    route it to one of {_SHUF_SHARDS} shards and the remaining digits
+    order it within the shard — so the 'shuffle' is one hash
+    partition plus per-shard sorts that run in parallel, never a
+    single total order (the (shard, pos_in_shard) pair IS the global
+    order, lexicographically). Changing the salt re-deals the entire
+    order; same salt reproduces it bit-for-bit, which is what makes
+    training runs resumable. Scale shape: one exchange on shard,
+    per-shard sort bounded by shard size — the same layout sharded
+    dataset formats (WebDataset, MDS) use."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"{_SHUF_SALT}:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    )
+    sharded = keyed.select(
+        "doc_id",
+        "skey",
+        (F.expr(hex_int_sql("skey", 4)) % _SHUF_SHARDS)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.substring("skey", 5, 28), "doc_id"
+    )
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )

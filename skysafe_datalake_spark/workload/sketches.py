@@ -140,13 +140,19 @@ _CMS_DIGITS = 8
 _CMS_TOP = 15
 
 
-def _cms_bucket_sql(word_expr: str, row: int) -> str:
-    h = hex_int_sql(f"md5('{row}:' || {word_expr})", _CMS_DIGITS)
+def _cms_bucket_sql(digest_expr: str, row: int) -> str:
+    """Row ``row``'s bucket from ONE md5 digest per token: each of the
+    d rows reads its own disjoint 8-hex-digit slice of the digest —
+    independent coordinates at a third of the hashing cost."""
+    h = hex_int_sql(
+        f"substr({digest_expr}, {row * _CMS_DIGITS + 1}, {_CMS_DIGITS})",
+        _CMS_DIGITS,
+    )
     return f"({h} % {_CMS_W})"
 
 
 _CMS_ROWS_UNION = "\nUNION ALL\n".join(
-    f"SELECT word, {r} AS rid, {_cms_bucket_sql('word', r)} AS bucket FROM toks"
+    f"SELECT word, {r} AS rid, {_cms_bucket_sql('h', r)} AS bucket FROM hashed"
     for r in range(_CMS_D)
 )
 
@@ -154,9 +160,12 @@ _CMS_SQL = f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS word FROM documents
 ),
+hashed AS (
+  SELECT word, md5(word) AS h FROM toks
+),
 cells AS (
   SELECT rid, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM ({_CMS_ROWS_UNION}) hashed
+  FROM ({_CMS_ROWS_UNION}) coords
   GROUP BY rid, bucket
 ),
 exact AS (
@@ -164,11 +173,11 @@ exact AS (
   FROM toks GROUP BY word
 ),
 top AS (
-  SELECT word, exact_cnt FROM exact
+  SELECT word, exact_cnt, md5(word) AS h FROM exact
   ORDER BY exact_cnt DESC, word LIMIT {_CMS_TOP}
 ),
 lookups AS (
-  {_CMS_ROWS_UNION.replace("FROM toks", "FROM top")}
+  {_CMS_ROWS_UNION.replace("FROM hashed", "FROM top")}
 )
 SELECT t.word, t.exact_cnt, MIN(c.cnt) AS cms_cnt
 FROM top t
@@ -183,8 +192,9 @@ def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min frequency sketch (d=3 rows × w=128 buckets) over the
     corpus token stream, read back for the true top-15 tokens next to
     their exact counts (CMS guarantees estimate ≥ exact; collisions
-    only inflate). Hash row r of token t = first 8 hex digits of
-    md5('r:' || t) mod w — portable across engines.
+    only inflate). Hash row r of token t = hex digits [8r, 8r+8) of
+    md5(t) mod w — one digest per token, d independent slices,
+    portable across engines.
 
     Scale shape: the sketch build is ONE aggregation producing at
     most d·w = 384 cells regardless of corpus size, with map-side
@@ -197,14 +207,17 @@ def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     )
-    hashed = None
-    for r in range(_CMS_D):
-        part = toks.select(
-            "word",
-            F.lit(r).alias("rid"),
-            F.expr(_cms_bucket_sql("word", r)).alias("bucket"),
-        )
-        hashed = part if hashed is None else hashed.unionAll(part)
+    # One pass over the token stream and ONE md5 per token: each
+    # token emits its d (row, bucket) coordinates from disjoint
+    # slices of a single digest via one exploded array — no d-way
+    # UNION re-scanning the corpus, a third of the hashing.
+    coords = ", ".join(
+        f"struct({r} AS rid, {_cms_bucket_sql('h', r)} AS bucket)"
+        for r in range(_CMS_D)
+    )
+    hashed = toks.select(F.md5("word").alias("h")).select(
+        F.expr(f"inline(array({coords}))")
+    )
     cells = hashed.groupBy("rid", "bucket").agg(
         F.count("*").cast("bigint").alias("cnt")
     )
@@ -213,11 +226,12 @@ def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = exact.orderBy(F.desc("exact_cnt"), "word").limit(_CMS_TOP)
     lookups = None
+    top_h = top.withColumn("h", F.md5("word"))
     for r in range(_CMS_D):
-        part = top.select(
+        part = top_h.select(
             "word",
             F.lit(r).alias("rid"),
-            F.expr(_cms_bucket_sql("word", r)).alias("bucket"),
+            F.expr(_cms_bucket_sql("h", r)).alias("bucket"),
         )
         lookups = part if lookups is None else lookups.unionAll(part)
     return (
