@@ -36,6 +36,18 @@ NAMES = [
     "llm_corpus_prep",
     "tpch_q5_like_sql",
     "window_distribution",
+    # round-3 operators
+    "tpch_q17_like",
+    "tpch_q21_like",
+    "snapshot_diff_cdc",
+    "block_dedup_reconstruct",
+    "sequence_packing",
+    "kmv_distinct_sketch",
+    "countmin_heavyhitters",
+    "graph_triangles",
+    "zorder_tile_stats",
+    "bm25_topk",
+    "corpus_shuffle_order",
 ]
 
 

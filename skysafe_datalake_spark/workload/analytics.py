@@ -910,12 +910,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
-    df_t = hits.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
     tf = hits.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
     )
+    # The postings table feeds BOTH df and the scorer; localCheckpoint
+    # materializes it once so the token stream is aggregated a single
+    # time (lazy plan reuse would re-scan the corpus for each branch).
+    tf = tf.localCheckpoint(eager=False)
+    # df re-aggregates the (tiny) postings table — skew-safe map-side
+    # count per term, broadcast back.
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     k1, b = _BM25_K1, _BM25_B
     idf = F.log(
         (

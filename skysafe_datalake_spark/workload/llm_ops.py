@@ -1459,28 +1459,30 @@ def block_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
                       as block)))"""
         ),
     )
+    # ONE corpus scan: first-occurrence rank and the per-document
+    # block total are two window passes over the same exploded block
+    # stream (the doc_id window's hash partitioning is then reused by
+    # the final groupBy — no extra exchange), instead of re-scanning
+    # and re-exploding the corpus for a totals table + join.
     first = Window.partitionBy("block").orderBy("doc_id", "bi")
+    per_doc = Window.partitionBy("doc_id")
     kept = (
         blocks.withColumn("rn", F.row_number().over(first))
+        .withColumn("n_total", F.count("*").over(per_doc))
         .where(F.col("rn") == 1)
         .drop("rn")
     )
-    totals = blocks.groupBy("doc_id").agg(F.count("*").alias("n_total"))
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("bi", "block"))),
-                    lambda s: s["block"],
-                ),
-                " ",
-            ).alias("dedup_text"),
-            F.count("*").alias("n_kept"),
-        )
-        .join(totals, "doc_id")
-        .select("doc_id", "dedup_text", "n_kept", "n_total")
-    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bi", "block"))),
+                lambda s: s["block"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count("*").alias("n_kept"),
+        F.min("n_total").alias("n_total"),
+    ).select("doc_id", "dedup_text", "n_kept", "n_total")
 
 
 # ─────────────── sequence packing (concat-and-split) ─────────────
