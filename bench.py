@@ -85,6 +85,10 @@ HEADLINE = [
     "countmin_heavyhitters",
     "graph_triangles",
     "zorder_tile_stats",
+    "bm25_topk",
+    "corpus_shuffle_order",
+    "histogram_quantile_sketch",
+    "streaming_stateful_running_agg",
 ]
 
 

@@ -48,6 +48,7 @@ NAMES = [
     "zorder_tile_stats",
     "bm25_topk",
     "corpus_shuffle_order",
+    "histogram_quantile_sketch",
 ]
 
 

@@ -45,3 +45,54 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    sort_within_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of (typically
+    streaming-produced) files into ceil(bytes / target) right-sized
+    files, returning the new file count.
+
+    Streaming sinks and per-micro-batch upserts accrete small files;
+    at scale, scan cost becomes dominated by per-file open/footer
+    overhead and the driver's file listing. This is the maintenance
+    job every table format schedules (Delta OPTIMIZE / Iceberg
+    rewrite_data_files) expressed directly on a parquet directory:
+    one read, one repartition to the target count (coalesce can't
+    RAISE parallelism and skips the optional re-sort), an optional
+    within-partition sort to restore clustering (compose with
+    operators.zorder.zorder_key to re-cluster while compacting), and
+    an atomic directory swap so readers never observe a half-written
+    table. The swap is a local-FS rename here; on an object store the
+    same operator runs against a table-format commit instead.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.format(fmt).load(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+
+    tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    out.write.format(fmt).mode("overwrite").save(tmp)
+    backup = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return n_files

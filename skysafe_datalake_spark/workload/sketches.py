@@ -1,12 +1,14 @@
-"""Deterministic mergeable sketches (KMV distinct-count, count-min).
+"""Deterministic mergeable sketches (KMV, count-min, histogram quantiles).
 
-At 100 TB you estimate cardinalities and frequencies with sketches,
-not exact aggregations. Spark's built-ins (approx_count_distinct's
-HyperLogLog++, count_min_sketch) are real but their binary state is
-engine-specific, so a DuckDB oracle can't verify them. These two
-operators implement the same sketch algorithms from scratch on a
-PORTABLE hash — md5, which both engines compute identically — so the
-driver gate hash-checks the full sketch math end to end:
+At 100 TB you estimate cardinalities, frequencies, and quantiles with
+sketches, not exact aggregations. Spark's built-ins
+(approx_count_distinct's HyperLogLog++, count_min_sketch,
+approx_percentile) are real but their binary state / interpolation is
+engine-specific, so a DuckDB oracle can't verify them. These
+operators implement the sketch algorithms from scratch on PORTABLE
+primitives — md5 hashing and integer bin math, which both engines
+compute identically — so the driver gate hash-checks the full sketch
+math end to end:
 
 - KMV (k-minimum-values): keep the k smallest hash values per group;
   distinct-count estimate = (k-1) / fraction-of-hash-space covered.
@@ -15,9 +17,14 @@ driver gate hash-checks the full sketch math end to end:
   frequency estimate = min over rows of the hit bucket. The sketch
   is a fixed d·w-cell table no matter the input size, built with one
   map-side-combined aggregation.
+- Histogram quantiles: fixed equi-width bin counts per group;
+  quantile estimate = midpoint of the first bin covering the
+  ceil(q·n) rank. Counts merge by addition — the streaming/partial
+  aggregation shape exact percentiles can never have.
 
-Both use only integer arithmetic after hashing, so results are
-bit-identical on any partitioning and against the oracle.
+All use integer arithmetic after hashing/binning (plus fixed IEEE
+estimate expressions), so results are bit-identical on any
+partitioning and against the oracle.
 """
 
 from __future__ import annotations
@@ -240,4 +247,136 @@ def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word", "exact_cnt")
         .agg(F.min("cnt").alias("cms_cnt"))
         .select("word", "exact_cnt", "cms_cnt")
+    )
+
+
+# ───────────────── mergeable histogram quantiles ─────────────────
+
+_HQ_BINS = 256
+
+_HQ_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  FROM lineitem
+),
+binned AS (
+  SELECT l_returnflag AS flag,
+         CAST(least({_HQ_BINS - 1},
+           floor((l_extendedprice - lo) * {_HQ_BINS}.0 / (hi - lo)))
+           AS BIGINT) AS b
+  FROM lineitem, bounds
+),
+cells AS (
+  SELECT flag, b, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY flag, b
+),
+cum AS (
+  SELECT flag, b, c,
+         CAST(SUM(c) OVER (PARTITION BY flag ORDER BY b) AS BIGINT) AS cc,
+         CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+  FROM cells
+),
+picked AS (
+  SELECT flag, MIN(n) AS n,
+         MIN(CASE WHEN cc >= (n + 1) // 2 THEN b END) AS b50,
+         MIN(CASE WHEN cc >= (19 * n + 19) // 20 THEN b END) AS b95
+  FROM cum GROUP BY flag
+),
+exact AS (
+  SELECT l_returnflag AS flag,
+         quantile_cont(l_extendedprice, [0.5, 0.95]) AS qs
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT p.flag, p.n, p.b50, p.b95,
+       bounds.lo + (CAST(p.b50 AS DOUBLE) + 0.5) * (bounds.hi - bounds.lo)
+         / {_HQ_BINS}.0 AS p50_est,
+       bounds.lo + (CAST(p.b95 AS DOUBLE) + 0.5) * (bounds.hi - bounds.lo)
+         / {_HQ_BINS}.0 AS p95_est,
+       floor(e.qs[1] * 1000000.0 + 0.5) / 1000000.0 AS p50_exact,
+       floor(e.qs[2] * 1000000.0 + 0.5) / 1000000.0 AS p95_exact
+FROM picked p
+JOIN exact e ON e.flag = p.flag
+CROSS JOIN bounds
+"""
+
+
+@register("histogram_quantile_sketch", _HQ_SQL)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed 256-bin equi-width histogram —
+    the mergeable-sketch answer to percentiles at scale (exact
+    quantiles need a global sort or a full value multiset per group;
+    a histogram is a few hundred integers, mergeable by addition,
+    buildable map-side, and streamable). Per group: bin counts →
+    running cumulative → first bin covering the ceil(q·n) rank →
+    midpoint estimate, with the exact continuous percentile alongside
+    as the error reference. Bin selection and rank thresholds are
+    pure integer math ((n+1)//2, (19n+19)//20), the two estimate
+    expressions are fixed IEEE trees over (lo, hi, bin) — so the
+    whole sketch is bit-reproducible against the oracle.
+
+    Scale shape: one aggregation to (group × ≤256) cells, a window
+    over ≤256 rows per group, a 1-row bounds broadcast. The exact
+    reference column is the only part that wouldn't survive 100 TB —
+    it exists to expose the sketch's error, not to compute it."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.col("l_returnflag").alias("flag"),
+        F.least(
+            F.lit(_HQ_BINS - 1),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                * F.lit(float(_HQ_BINS))
+                / (F.col("hi") - F.col("lo"))
+            ),
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    cells = binned.groupBy("flag", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy("flag").orderBy("b")
+    wall = Window.partitionBy("flag")
+    cum = cells.select(
+        "flag",
+        "b",
+        F.sum("c").over(wcum).cast("bigint").alias("cc"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
+    )
+    picked = cum.groupBy("flag").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(F.col("cc") >= F.expr("(n + 1) div 2"), F.col("b"))).alias(
+            "b50"
+        ),
+        F.min(
+            F.when(F.col("cc") >= F.expr("(19 * n + 19) div 20"), F.col("b"))
+        ).alias("b95"),
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("q50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+    )
+    est = lambda b: F.col("lo") + (  # noqa: E731
+        F.col(b).cast("double") + F.lit(0.5)
+    ) * (F.col("hi") - F.col("lo")) / F.lit(float(_HQ_BINS))
+    return (
+        picked.join(exact, "flag")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "flag",
+            "n",
+            "b50",
+            "b95",
+            est("b50").alias("p50_est"),
+            est("b95").alias("p95_est"),
+            (F.floor(F.col("q50") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "p50_exact"
+            ),
+            (F.floor(F.col("q95") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "p95_exact"
+            ),
+        )
     )

@@ -15,6 +15,7 @@ import io
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 
@@ -356,3 +357,53 @@ def test_sequence_packing_invariants(spark):
             assert r.seq_id == r.start_off // 256
             assert r.pos_in_seq == r.start_off % 256
             expect += r.n_tokens
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, tmp_path):
+    """Star-join DPP: a fact table partitioned on the join key must be
+    pruned at RUNTIME by a filter on the joined dimension — the scan
+    shows a dynamicpruning subquery on the partition column. At 100 TB
+    this is the difference between scanning 2 partitions and 200."""
+    fact = (
+        spark.range(2000)
+        .withColumn("pk", (F.col("id") % 10).cast("int"))
+        .withColumn("v", F.col("id") * 2)
+    )
+    fact.write.partitionBy("pk").parquet(str(tmp_path / "fact"))
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(10)], "pk int, tag string"
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).where(F.col("tag") == "keep")
+    # Disable broadcast so the exchange-reuse path isn't the only DPP
+    # trigger; Spark inserts a dynamicpruning expression either way.
+    joined = f.join(d, "pk").groupBy("tag").agg(F.sum("v").alias("sv"))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(True)
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[-2000:]
+    assert joined.count() == 1
+
+
+def test_compact_small_files(spark, tmp_path):
+    """200 tiny files → right-sized files, same rows, atomic swap."""
+    from skysafe_datalake_spark.storage import compact
+
+    import glob
+
+    path = str(tmp_path / "smallfiles")
+    spark.range(20000).withColumn("v", F.col("id") * 3).repartition(
+        200
+    ).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 200
+    before = spark.read.parquet(path).agg(F.sum("v")).first()[0]
+
+    n = compact(spark, path, target_file_mb=1, sort_within_by=["id"])
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n <= 4
+    after = spark.read.parquet(path).agg(F.sum("v")).first()[0]
+    assert before == after
