@@ -123,3 +123,26 @@ def test_zorder_write_tightens_both_dims(spark, n_files):
         # ...while partkey stays well below its full range too, so
         # predicates on EITHER column prune files.
         assert zp < (np_ - 1) * 0.75
+
+
+def test_zorder_and_compact_tolerate_empty_and_tiny(spark, tmp_path):
+    """Write-path operators survive degenerate inputs: a zero-row
+    frame z-order-writes an empty (readable) table; compacting a
+    single-file table is a no-op rewrite with identical content."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.storage import compact
+
+    empty = spark.createDataFrame([], "a bigint, b bigint")
+    key = zorder_key([F.col("a"), F.col("b")])
+    zorder_write(empty, str(tmp_path / "empty"), key, 4)
+    back = spark.read.parquet(str(tmp_path / "empty"))
+    assert back.count() == 0 and back.columns == ["a", "b"]
+
+    one = spark.range(5).withColumn("v", F.col("id") + 1)
+    one.coalesce(1).write.parquet(str(tmp_path / "one"))
+    n = compact(spark, str(tmp_path / "one"), target_file_mb=64)
+    assert n == 1
+    assert sorted(
+        r.v for r in spark.read.parquet(str(tmp_path / "one")).collect()
+    ) == [1, 2, 3, 4, 5]
