@@ -89,6 +89,8 @@ HEADLINE = [
     "corpus_shuffle_order",
     "histogram_quantile_sketch",
     "streaming_stateful_running_agg",
+    "streaming_interval_join",
+    "incremental_agg_merge",
 ]
 
 

@@ -49,6 +49,7 @@ NAMES = [
     "bm25_topk",
     "corpus_shuffle_order",
     "histogram_quantile_sketch",
+    "incremental_agg_merge",
 ]
 
 

@@ -681,3 +681,152 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ─────────── stream-stream interval join (gate query) ────────────
+
+_SSJ_SQL = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                  event_type FROM events)
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+FROM e c
+JOIN e p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("streaming_interval_join", _SSJ_SQL)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream interval join: clicks and purchases replay
+    through two independent file-source readStreams and join on user
+    within a [0, 30 min] event-time band — the click→purchase
+    attribution topology. Both sides carry watermarks and the join
+    condition bounds event time in both directions, so each side's
+    state store evicts rows once the other stream's watermark passes
+    their window — bounded state, the thing an unconstrained
+    stream-stream join can never have. Under availableNow the inner
+    join emits exactly the batch answer (the oracle's range join):
+    stream/batch equivalence is the correctness contract.
+
+    Scale shape: state is hash-partitioned by user_id; per row the
+    join probes one key's bounded time-band buffer. delay_s is
+    integer seconds — no float drift."""
+    import uuid
+
+    from skysafe_datalake_spark.streaming.driver import interval_join_streams
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="skysafe_ssj_")
+    qn = f"ssj_{uuid.uuid4().hex[:8]}"
+    try:
+        e.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        ).write.parquet(f"{tmp}/clicks")
+        e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        ).write.parquet(f"{tmp}/purchases")
+
+        clicks = spark.readStream.schema(
+            "click_id bigint, c_user bigint, c_ts timestamp"
+        ).parquet(f"{tmp}/clicks")
+        purchases = spark.readStream.schema(
+            "purchase_id bigint, p_user bigint, p_ts timestamp"
+        ).parquet(f"{tmp}/purchases")
+        joined = interval_join_streams(
+            clicks,
+            purchases,
+            left_key="c_user",
+            right_key="p_user",
+            left_ts="c_ts",
+            right_ts="p_ts",
+            watermark="1 hour",
+            within="30 minutes",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            ).cast("bigint").alias("delay_s"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(qn).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ─────────── incremental aggregate maintenance ───────────────────
+
+_IAM_SQL = """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+SELECT date_trunc('hour', ts) AS bucket,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM e
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@register("incremental_agg_merge", _IAM_SQL)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance for distributive aggregates: an
+    hourly (bucket, event_type) summary table is built from the first
+    half of the stream, then each later batch is aggregated alone and
+    MERGED cell-wise (counts and integer-cent sums add) — the summary
+    never re-reads raw history. The oracle is the one-shot aggregate
+    over everything: merge(agg(A), agg(B)) must equal agg(A ∪ B)
+    exactly, which distributive measures in integer arithmetic
+    guarantee on any split. (Non-distributive finals — averages —
+    derive from the merged sums downstream.)
+
+    This is the continuous-aggregate upgrade for the reference's
+    every-minute full recompute (SURVEY.md §2.10): at 100 TB the
+    summary is O(buckets·types), each micro-batch costs
+    O(batch + touched cells), and the cell-wise merge is the same
+    associative shape Spark uses for its own partial aggregates —
+    just persisted across batches."""
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("bucket", "event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    state = agg(e.where(F.col("bucket") < cutoff))
+    batch = agg(e.where(F.col("bucket") >= cutoff))
+    return (
+        state.unionByName(batch)
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
