@@ -91,6 +91,9 @@ HEADLINE = [
     "streaming_stateful_running_agg",
     "streaming_interval_join",
     "incremental_agg_merge",
+    "funnel_conversion",
+    "retention_cohorts",
+    "spatial_bbox_join",
 ]
 
 

@@ -50,6 +50,8 @@ NAMES = [
     "corpus_shuffle_order",
     "histogram_quantile_sketch",
     "incremental_agg_merge",
+    "funnel_conversion",
+    "spatial_bbox_join",
 ]
 
 

@@ -959,3 +959,139 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), "doc_id")
         .limit(50)
     )
+
+
+# ─────────────────── funnel analysis ─────────────────────────────
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS funnel_stage,
+       v.v_ts, c.c_ts, p.p_ts
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
+@register("funnel_conversion", _FUNNEL_SQL)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): a user
+    advances a stage only with an event STRICTLY AFTER the previous
+    stage's earliest completion — the greedy-earliest chain, which is
+    the standard funnel semantics (an unordered 'did all three' count
+    over-states conversion). Three per-user MIN aggregations chained
+    by inequality joins, then two left joins assemble the per-user
+    stage + stage timestamps.
+
+    Scale shape: every aggregation and join keys on user_id — under
+    AQE this is one shuffle lineage re-used across stages (or zero
+    exchanges with the events table bucketed by user_id); per-stage
+    state is one timestamp per user, never a per-user event array on
+    the driver or in RAM. Timestamps compare exactly (microsecond
+    integers), so stage assignment is deterministic."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    stage = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", stage.alias("funnel_stage"), "v_ts", "c_ts", "p_ts")
+    )
+
+
+# ─────────────────── retention cohorts ───────────────────────────
+
+_RETENTION_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week FROM e
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) // 7
+           AS week_offset
+  FROM e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("retention_cohorts", _RETENTION_SQL)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week
+    (the cohort), then counted once per (cohort, week-offset) they
+    were active in — the classic retention triangle a product
+    dashboard reads. Week arithmetic is integer day-difference // 7
+    on week-truncated timestamps (both engines truncate to Monday),
+    so cell membership is exact.
+
+    Scale shape: one per-user MIN (map-side combined), a user-keyed
+    join to tag each event with its cohort, a DISTINCT on
+    (user, cohort, offset) — all shuffling on user_id — then the
+    final tiny (cohorts × offsets) aggregation. No window over the
+    raw stream, no driver state."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "datediff(to_date(date_trunc('week', ts)), cohort_week) div 7"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_week", F.col("week_offset").cast("bigint").alias("week_offset")
+    ).agg(F.count("*").cast("bigint").alias("n_active_users"))

@@ -345,3 +345,97 @@ def nn_station_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "station_id",
         pround(F.col("dist_raw"), 4).alias("dist_km"),
     )
+
+
+# ─────────────────── spatial containment join ────────────────────
+
+_N_BOXES = 15
+
+_BBOX_SQL = f"""
+WITH flights AS ({{SYN}}),
+boxes AS (
+  SELECT CAST(range AS BIGINT) AS box_id,
+         41.5 + CAST(range % 5 AS DOUBLE) * 1.9 AS lat0,
+         41.5 + CAST(range % 5 AS DOUBLE) * 1.9 + 2.5 AS lat1,
+         -5.0 + CAST(range // 5 AS DOUBLE) * 4.8 AS lon0,
+         -5.0 + CAST(range // 5 AS DOUBLE) * 4.8 + 3.7 AS lon1
+  FROM range(0, {_N_BOXES})
+)
+SELECT b.box_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(f.flight_id) AS BIGINT) AS min_flight,
+       CAST(MAX(f.flight_id) AS BIGINT) AS max_flight
+FROM boxes b
+JOIN flights f
+  ON f.lat >= b.lat0 AND f.lat < b.lat1
+ AND f.lon >= b.lon0 AND f.lon < b.lon1
+GROUP BY b.box_id
+""".replace("{SYN}", SYNTHETIC_FLIGHTS_SQL)
+
+
+@register("spatial_bbox_join", _BBOX_SQL)
+def spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-rectangle containment join (geo-fencing flights into
+    zones) via the cell-cover-then-refine pattern: each box explodes
+    into the 1°-grid cells it overlaps (a handful of rows per box),
+    points key to their containing cell, the join is a plain hash
+    EQUI-join on the cell id, and the exact box bounds re-check runs
+    as the join residual. The oracle is the direct theta join — the
+    cell path must lose (and invent) nothing.
+
+    Why this shape at scale: a containment theta join has no equi
+    keys, so Spark would BroadcastNestedLoopJoin it — O(|points|·|boxes|)
+    comparisons. Cell covering makes the candidate set
+    O(|points| + Σ box_cells) with all the pruning in a hash join,
+    the same trick grid_nn_join uses for nearest-neighbor; zone sets
+    far too large to broadcast just shuffle by cell key."""
+    flights = synthetic_flights(load(spark, sf_dir, "events"))
+    i = F.col("id")
+    boxes = spark.range(_N_BOXES).select(
+        i.alias("box_id"),
+        (F.lit(41.5) + (i % 5).cast("double") * 1.9).alias("lat0"),
+        (F.lit(41.5) + (i % 5).cast("double") * 1.9 + 2.5).alias("lat1"),
+        (F.lit(-5.0) + F.expr("id div 5").cast("double") * 4.8).alias("lon0"),
+        (F.lit(-5.0) + F.expr("id div 5").cast("double") * 4.8 + 3.7).alias(
+            "lon1"
+        ),
+    )
+    box_cells = boxes.select(
+        "box_id",
+        "lat0",
+        "lat1",
+        "lon0",
+        "lon1",
+        F.explode(
+            F.expr(
+                "flatten(transform("
+                "  sequence(cast(floor(lat0) as bigint),"
+                "           cast(floor(lat1) as bigint)),"
+                "  la -> transform("
+                "    sequence(cast(floor(lon0) as bigint),"
+                "             cast(floor(lon1) as bigint)),"
+                "    lo -> struct(la as cla, lo as clo))))"
+            )
+        ).alias("cell"),
+    ).select(
+        "box_id", "lat0", "lat1", "lon0", "lon1",
+        F.col("cell.cla").alias("cla"), F.col("cell.clo").alias("clo"),
+    )
+    pts = flights.select(
+        "flight_id",
+        "lat",
+        "lon",
+        F.floor("lat").cast("bigint").alias("cla"),
+        F.floor("lon").cast("bigint").alias("clo"),
+    )
+    contained = pts.join(F.broadcast(box_cells), ["cla", "clo"]).where(
+        (F.col("lat") >= F.col("lat0"))
+        & (F.col("lat") < F.col("lat1"))
+        & (F.col("lon") >= F.col("lon0"))
+        & (F.col("lon") < F.col("lon1"))
+    )
+    return contained.groupBy("box_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.min("flight_id").cast("bigint").alias("min_flight"),
+        F.max("flight_id").cast("bigint").alias("max_flight"),
+    )

@@ -407,3 +407,13 @@ def test_compact_small_files(spark, tmp_path):
     assert len(files) == n <= 4
     after = spark.read.parquet(path).agg(F.sum("v")).first()[0]
     assert before == after
+
+
+def test_spatial_bbox_join_is_equi_join(spark):
+    """Cell covering must turn the containment theta join into a hash
+    equi-join on the cell key — a BroadcastNestedLoopJoin over the
+    points is the O(|points|·|boxes|) failure mode."""
+    plan = plan_of(spark, "spatial_bbox_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
