@@ -94,6 +94,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "spatial_bbox_join",
+    "json_nested_flatten",
 ]
 
 

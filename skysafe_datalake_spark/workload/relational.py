@@ -585,3 +585,86 @@ def anomaly_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.crossJoin(F.broadcast(thr)).select(
         "event_id", "value", (v > F.col("threshold")).alias("is_anomaly")
     )
+
+
+# ───────────────────────── nested JSON + corrupt tolerance ───────
+
+
+@register(
+    "json_nested_flatten",
+    """
+WITH raw AS (
+  SELECT event_id,
+         '{"meta":{"k":' || CAST(event_id % 100 AS VARCHAR)
+           || ',"tags":["t' || CAST(event_id % 3 AS VARCHAR)
+           || '","u"]},"vals":[' || CAST(event_id % 7 AS VARCHAR)
+           || ',' || CAST((event_id % 7) * 2 AS VARCHAR) || ']}' AS full_js
+  FROM events
+),
+js AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0
+              THEN substr(full_js, 1, len(full_js) - 3)
+              ELSE full_js END AS doc
+  FROM raw
+)
+SELECT event_id,
+       json_valid(doc) AS is_valid,
+       CASE WHEN json_valid(doc)
+            THEN CAST(json_extract_string(doc, '$.meta.k') AS BIGINT) END AS k,
+       CASE WHEN json_valid(doc)
+            THEN json_extract_string(doc, '$.meta.tags[0]') END AS tag0,
+       CASE WHEN json_valid(doc)
+            THEN CAST(json_array_length(doc, '$.vals') AS BIGINT) END AS n_vals,
+       CASE WHEN json_valid(doc)
+            THEN CAST(json_extract_string(doc, '$.vals[0]') AS BIGINT) END AS val0
+FROM js
+""",
+)
+def json_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-structured parsing with corrupt-record tolerance:
+    a two-level JSON document (struct inside struct, two arrays) is
+    parsed by from_json under PERMISSIVE semantics — malformed rows
+    (every 10th doc is truncated) yield NULL rather than failing the
+    job, the engine-side analog of the reference's per-point
+    HTTP-error tolerance (/root/reference/src/extract_weather.py:92:
+    skip the bad record, keep the batch). Fields, array elements, and
+    array lengths flatten to typed columns in one codegen projection;
+    the oracle replays the same docs through DuckDB's JSON path
+    functions guarded by json_valid.
+
+    Scale shape: parsing is per-row JVM code (Jackson inside
+    whole-stage codegen) — no shuffle, no Python; schema is explicit
+    so Catalyst prunes unread JSON fields (Spark pushes required-only
+    field parsing into from_json)."""
+    e = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    full_js = F.concat(
+        F.lit('{"meta":{"k":'),
+        (eid % 100).cast("string"),
+        F.lit(',"tags":["t'),
+        (eid % 3).cast("string"),
+        F.lit('","u"]},"vals":['),
+        (eid % 7).cast("string"),
+        F.lit(","),
+        ((eid % 7) * 2).cast("string"),
+        F.lit("]}"),
+    )
+    doc = F.when(
+        eid % 10 == 0, F.expr("substr(full_js, 1, length(full_js) - 3)")
+    ).otherwise(F.col("full_js"))
+    schema = "struct<meta:struct<k:bigint,tags:array<string>>,vals:array<bigint>>"
+    parsed = (
+        e.select("event_id", full_js.alias("full_js"))
+        .select("event_id", doc.alias("doc"))
+        .select("event_id", F.from_json("doc", schema).alias("j"))
+    )
+    ok = F.col("j").isNotNull() & F.col("j.meta").isNotNull()
+    return parsed.select(
+        "event_id",
+        ok.alias("is_valid"),
+        F.when(ok, F.col("j.meta.k")).alias("k"),
+        F.when(ok, F.col("j.meta.tags")[0]).alias("tag0"),
+        F.when(ok, F.size("j.vals").cast("bigint")).alias("n_vals"),
+        F.when(ok, F.col("j.vals")[0]).alias("val0"),
+    )

@@ -251,3 +251,56 @@ def test_corpus_shuffle_is_permutation_and_salt_sensitive(spark):
         by_shard[r.shard].append(r.pos_in_shard)
     for sh, ps in by_shard.items():
         assert sorted(ps) == list(range(1, per[sh] + 1))
+
+
+_INVARIANCE_SAMPLE = [
+    # float aggregates (decimal-sum discipline), sketches, windows,
+    # iterative graph — the families where partition order could leak
+    # into results if the determinism conventions slipped.
+    "pricing_summary",
+    "global_stats",
+    "stats_correlation",
+    "kmv_distinct_sketch",
+    "countmin_heavyhitters",
+    "histogram_quantile_sketch",
+    "pagerank_integer",
+    "bm25_topk",
+    "sequence_packing",
+    "snapshot_diff_cdc",
+    "block_dedup_reconstruct",
+    "unigram_logprob_score",
+]
+
+
+def test_results_invariant_under_repartitioning(spark):
+    """The repo-wide determinism claim, tested directly: every result
+    must be BIT-IDENTICAL when the same query runs under a different
+    shuffle layout (3 vs 16 partitions ⇒ different partial-aggregate
+    merge orders, different window task boundaries). Associative
+    decimal/integer aggregation is what makes this hold; a raw
+    float64 SUM would fail here on the first run."""
+    from tests.conftest import SF_SMALL
+
+    from skysafe_datalake_spark.workload import QUERIES
+
+    def snap(name):
+        df = QUERIES[name](spark, SF_SMALL)
+        cols = sorted(df.columns)
+        return sorted(
+            "|".join(repr(row[c]) for c in cols)
+            for row in (r.asDict() for r in df.collect())
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for name in _INVARIANCE_SAMPLE:
+            baseline[name] = snap(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        for name in _INVARIANCE_SAMPLE:
+            assert snap(name) == baseline[name], (
+                f"{name}: result depends on shuffle partitioning"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
