@@ -95,6 +95,8 @@ HEADLINE = [
     "retention_cohorts",
     "spatial_bbox_join",
     "json_nested_flatten",
+    "dq_expectations",
+    "golden_record_merge",
 ]
 
 

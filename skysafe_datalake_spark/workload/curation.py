@@ -485,3 +485,205 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cents").alias("old_cents"),
         F.col("b.cents").alias("new_cents"),
     )
+
+
+# ─────────────────── data-quality expectations ───────────────────
+
+_DQ_SQL = """
+SELECT 'orders_totalprice_positive' AS rule_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_orderdate_not_null',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders_custkey_references_customer',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_quantity_in_range',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT)
+"""
+
+
+@register("dq_expectations", _DQ_SQL)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the validation gate between
+    medallion layers (the reference's only guard is a null-GPS
+    filter, /root/reference/src/format_flights.py:133; a production
+    promotion gate checks ranges, nullability, uniqueness, and
+    referential integrity and BLOCKS the layer promotion on
+    violations). Five rule families over orders/lineitem/customer,
+    each emitting (rule, n_checked, n_violations): range check,
+    not-null, FK orphans via anti-join, domain bounds, key
+    uniqueness.
+
+    Scale shape: each rule is a map-side-combined aggregation or an
+    anti-join keyed on the FK — no rule materializes violating ROWS
+    (a quarantine variant would filter instead of count, same plan);
+    the five tiny results union driver-free. Counts are exact
+    integers, so the gate's pass/fail decision is deterministic."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def rule(name, n_checked_col, n_viol_col, src):
+        return src.agg(
+            F.lit(name).alias("rule_name"),
+            n_checked_col.cast("bigint").alias("n_checked"),
+            n_viol_col.cast("bigint").alias("n_violations"),
+        )
+
+    r1 = rule(
+        "orders_totalprice_positive",
+        F.count("*"),
+        F.sum(F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)),
+        o,
+    )
+    r2 = rule(
+        "orders_orderdate_not_null",
+        F.count("*"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)),
+        o,
+    )
+    orphans = o.join(
+        c, o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).agg(F.count("*").alias("n_orph"))
+    total_o = o.agg(F.count("*").alias("n_all"))
+    r3 = total_o.crossJoin(orphans).select(
+        F.lit("orders_custkey_references_customer").alias("rule_name"),
+        F.col("n_all").cast("bigint").alias("n_checked"),
+        F.col("n_orph").cast("bigint").alias("n_violations"),
+    )
+    r4 = rule(
+        "lineitem_quantity_in_range",
+        F.count("*"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1.0) | (F.col("l_quantity") > 50.0), 1
+            ).otherwise(0)
+        ),
+        li,
+    )
+    r5 = rule(
+        "orders_orderkey_unique",
+        F.count("*"),
+        F.count("*") - F.countDistinct("o_orderkey"),
+        o,
+    )
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+
+
+# ─────────────────── golden-record survivorship ──────────────────
+
+_GOLDEN_SQL = """
+WITH srcs AS (
+  SELECT c_custkey AS k, 0 AS src,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL
+              ELSE c_name || '@crm' END AS name,
+         CASE WHEN c_custkey % 2 = 0 THEN NULL
+              ELSE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END AS cents,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 1,
+         c_name || '@erp',
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 1 END,
+         NULL
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2, NULL,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + 2,
+         lower(c_mktsegment)
+  FROM customer
+)
+SELECT k AS custkey,
+       arg_min(name, src) FILTER (WHERE name IS NOT NULL) AS name,
+       arg_min(cents, src) FILTER (WHERE cents IS NOT NULL) AS cents,
+       arg_min(seg, src) FILTER (WHERE seg IS NOT NULL) AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps
+FROM srcs
+GROUP BY k
+"""
+
+
+@register("golden_record_merge", _GOLDEN_SQL)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the merge step of master-data /
+    entity resolution): each entity arrives as several source records
+    with different fields populated (three deterministic synthetic
+    feeds here — CRM, ERP, a lower-cased legacy dump); the golden
+    record takes, per FIELD, the value from the highest-priority
+    source that has one (source-priority survivorship, the most
+    common MDM rule), plus completeness telemetry (gap counts).
+
+    The per-field pick is min_by(value, priority) over non-null
+    values — ONE hash aggregation keyed on the entity, no per-field
+    joins, no row explosion beyond the source union. min_by/arg_min
+    ignore rows whose ordering key is NULLed out, which is exactly
+    the filter semantics both engines share. Scale: |entities| keys,
+    map-side partial min_by, one shuffle."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint")
+    k = F.col("c_custkey")
+    s0 = c.select(
+        k.alias("k"),
+        F.lit(0).alias("src"),
+        F.when(k % 3 == 0, None).otherwise(
+            F.concat(F.col("c_name"), F.lit("@crm"))
+        ).alias("name"),
+        F.when(k % 2 == 0, None).otherwise(cents).alias("cents"),
+        F.when(k % 5 == 0, None).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    s1 = c.select(
+        k.alias("k"),
+        F.lit(1).alias("src"),
+        F.concat(F.col("c_name"), F.lit("@erp")).alias("name"),
+        F.when(k % 7 == 0, None).otherwise(cents + 1).alias("cents"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    s2 = c.select(
+        k.alias("k"),
+        F.lit(2).alias("src"),
+        F.lit(None).cast("string").alias("name"),
+        (cents + 2).alias("cents"),
+        F.lower(F.col("c_mktsegment")).alias("seg"),
+    )
+    srcs = s0.unionByName(s1).unionByName(s2)
+
+    def pick(col):
+        return F.min_by(
+            F.col(col), F.when(F.col(col).isNotNull(), F.col("src"))
+        )
+
+    def gaps(col):
+        return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+
+    return srcs.groupBy(F.col("k").alias("custkey")).agg(
+        pick("name").alias("name"),
+        pick("cents").alias("cents"),
+        pick("seg").alias("seg"),
+        F.count("*").cast("bigint").alias("n_sources"),
+        (gaps("name") + gaps("cents") + gaps("seg")).cast("bigint").alias(
+            "n_gaps"
+        ),
+    )
