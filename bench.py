@@ -97,6 +97,7 @@ HEADLINE = [
     "json_nested_flatten",
     "dq_expectations",
     "golden_record_merge",
+    "global_rank_ranged",
 ]
 
 

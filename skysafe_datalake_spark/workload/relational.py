@@ -668,3 +668,41 @@ def json_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.size("j.vals").cast("bigint")).alias("n_vals"),
         F.when(ok, F.col("j.vals")[0]).alias("val0"),
     )
+
+
+# ───────────────────────── distributed global ranking ────────────
+
+
+@register(
+    "global_rank_ranged",
+    """
+SELECT c_custkey AS custkey,
+       CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+       CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey)
+            AS BIGINT) AS rank
+FROM customer
+""",
+)
+def global_rank_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering under a total order WITHOUT the
+    1-partition window (operators/ranking.global_rank): range
+    partition on the ordering key, number within partitions, add
+    per-partition offsets — the offsets are a #partitions-row
+    aggregate, the only driver-touching piece, bounded by
+    parallelism rather than data size. The oracle is the naive
+    row_number() OVER (ORDER BY ...), so the two-phase construction
+    must reproduce the exact total order (acctbal DESC with custkey
+    tie-break makes it total)."""
+    from skysafe_datalake_spark.operators.ranking import global_rank
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("bigint").alias("cents"),
+        "c_acctbal",
+    )
+    ranked = global_rank(
+        c,
+        [F.col("c_acctbal").desc(), F.col("custkey")],
+        rank_name="rank",
+    )
+    return ranked.select("custkey", "cents", "rank")

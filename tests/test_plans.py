@@ -417,3 +417,15 @@ def test_spatial_bbox_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_global_rank_avoids_single_partition_window(spark):
+    """The two-phase ranking must never plan a windowing over ONE
+    partition (no empty-frame `Window [...] ORDER BY` without a
+    partitionBy hash exchange): the window's exchange key is the
+    range-partition id, so work stays spread across the cluster."""
+    plan = plan_of(spark, "global_rank_ranged", mode="extended")
+    # The only Window operator present partitions by the internal pid,
+    # and nothing in the physical plan collapses to SinglePartition.
+    assert "_gr_pid" in plan
+    assert "SinglePartition" not in plan
