@@ -98,6 +98,7 @@ HEADLINE = [
     "dq_expectations",
     "golden_record_merge",
     "global_rank_ranged",
+    "mmr_diversity_rerank",
 ]
 
 

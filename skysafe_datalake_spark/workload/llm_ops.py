@@ -1609,3 +1609,166 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+# ─────────────── MMR diversity reranking ─────────────────────────
+
+_MMR_CANDS = 12
+_MMR_SELECT = 5  # seed + 4 rounds
+_MMR_LAM_NUM, _MMR_PEN_NUM = 7, 3  # λ = 0.7 as integer weights
+
+
+def _cos_pair_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _mmr_round_sql(k: int) -> str:
+    prev = f"s{k - 1}"
+    return f"""
+pen{k} AS (
+  SELECT c.id, c.qsim_e6, MAX(p.sim_e6) AS pen
+  FROM cands c
+  JOIN pairs p ON p.ai = c.id
+  JOIN {prev} s ON s.vec_id = p.bi
+  WHERE c.id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.id, c.qsim_e6
+),
+pick{k} AS (
+  SELECT {k} AS sel_round, id AS vec_id, qsim_e6
+  FROM pen{k}
+  ORDER BY {_MMR_LAM_NUM} * qsim_e6 - {_MMR_PEN_NUM} * pen DESC, id
+  LIMIT 1
+),
+s{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{k})"""
+
+
+_MMR_SQL = (
+    f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+c AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id >= 10
+),
+scored AS (
+  SELECT id, cv,
+         CAST(floor(({_cos_pair_sql("cv", "qv")}) * 1000000.0 + 0.5)
+              AS BIGINT) AS qsim_e6
+  FROM c CROSS JOIN q
+),
+cands AS (SELECT id, cv, qsim_e6 FROM scored ORDER BY qsim_e6 DESC, id
+          LIMIT {_MMR_CANDS}),
+pairs AS (
+  SELECT a.id AS ai, b.id AS bi,
+         CAST(floor(({_cos_pair_sql("a.cv", "b.cv")}) * 1000000.0 + 0.5)
+              AS BIGINT) AS sim_e6
+  FROM cands a JOIN cands b ON a.id <> b.id
+),
+s0 AS (SELECT 0 AS sel_round, id AS vec_id, qsim_e6 FROM cands
+       ORDER BY qsim_e6 DESC, id LIMIT 1),"""
+    + ",".join(_mmr_round_sql(k) for k in range(1, _MMR_SELECT))
+    + f"""
+SELECT CAST(sel_round AS BIGINT) AS sel_round, CAST(vec_id AS BIGINT) AS vec_id,
+       qsim_e6
+FROM s{_MMR_SELECT - 1}
+"""
+)
+
+
+@register("mmr_diversity_rerank", _MMR_SQL)
+def mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking — the diversity stage of
+    a retrieval pipeline (don't return 5 near-duplicates of the best
+    hit): from the top-12 cosine candidates for one query vector,
+    greedily select 5, each round maximizing
+    λ·sim(query, c) − (1−λ)·max_{s∈selected} sim(c, s) with λ=0.7.
+    Pairwise and query similarities quantize ONCE to integer ppm, so
+    every argmax comparison is integer (7·qsim − 3·penalty) with a
+    vec_id tie-break — fully deterministic, and the oracle unrolls
+    the identical greedy recursion as CTEs.
+
+    Scale shape: the expensive part (query→corpus scoring) is the
+    broadcast brute-force / ANN stage that feeds this; MMR itself
+    touches only the candidate set (top-k per query — bounded), so
+    the per-round joins are tiny and the unrolled plan is a chain of
+    kilobyte-scale operators. The candidate set is localCheckpoint'd
+    once so the rounds don't recompute the corpus scan."""
+    from skysafe_datalake_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = emb.where(F.col("vec_id") == 0).select(to_d.alias("qv"))
+    c = emb.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("id"), to_d.alias("cv")
+    )
+    qsim = F.floor(
+        cosine(F.col("cv"), F.col("qv")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    cands = (
+        c.crossJoin(F.broadcast(q))
+        .select("id", "cv", qsim.alias("qsim_e6"))
+        .orderBy(F.desc("qsim_e6"), "id")
+        .limit(_MMR_CANDS)
+        .localCheckpoint(eager=True)
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    pair_sim = F.floor(
+        cosine(F.col("a.cv"), F.col("b.cv")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    pairs = (
+        a.join(b, F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ai"),
+            F.col("b.id").alias("bi"),
+            pair_sim.alias("sim_e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = (
+        cands.orderBy(F.desc("qsim_e6"), "id")
+        .limit(1)
+        .select(
+            F.lit(0).alias("sel_round"),
+            F.col("id").alias("vec_id"),
+            "qsim_e6",
+        )
+    )
+    for k in range(1, _MMR_SELECT):
+        pen = (
+            cands.join(sel.select("vec_id"), cands["id"] == F.col("vec_id"), "left_anti")
+            .join(pairs, F.col("id") == F.col("ai"))
+            .join(
+                sel.select(F.col("vec_id").alias("_sid")),
+                F.col("bi") == F.col("_sid"),
+            )
+            .groupBy("id", "qsim_e6")
+            .agg(F.max("sim_e6").alias("pen"))
+        )
+        pick = (
+            pen.orderBy(
+                F.desc(
+                    _MMR_LAM_NUM * F.col("qsim_e6")
+                    - _MMR_PEN_NUM * F.col("pen")
+                ),
+                "id",
+            )
+            .limit(1)
+            .select(
+                F.lit(k).alias("sel_round"),
+                F.col("id").alias("vec_id"),
+                "qsim_e6",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        F.col("sel_round").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "qsim_e6",
+    )
