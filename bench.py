@@ -99,6 +99,9 @@ HEADLINE = [
     "golden_record_merge",
     "global_rank_ranged",
     "mmr_diversity_rerank",
+    "weighted_sample_ares",
+    "tpch_q15_like",
+    "tpch_q20_like",
 ]
 
 

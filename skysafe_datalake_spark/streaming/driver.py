@@ -248,3 +248,37 @@ def interval_join_streams(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return l_wm.join(r_wm, cond, "inner")
+
+
+def idempotent_foreach_batch(write_fn, commit_dir: str):
+    """Exactly-once guard for ``foreachBatch`` sinks that are not
+    naturally idempotent (plain appends): Structured Streaming
+    guarantees each micro-batch id is REPLAYED after a failure, not
+    that your sink saw it once — an append sink duplicates rows on
+    retry. This wraps the batch writer with a batch-id commit log:
+    a batch whose marker exists is skipped entirely, and the marker
+    is written only after ``write_fn`` returns, so a crash between
+    write and commit replays the batch (at-least-once write + skip
+    on replay = exactly-once observable output for deterministic
+    batches).
+
+    The marker store is a directory of ``<batch_id>.committed``
+    files — local FS here; on a cluster point it at the same DFS as
+    the checkpoint (the pattern table formats implement internally
+    via transaction-log commits keyed on (queryId, batchId)).
+    Partition-overwrite sinks (``upsert_partitioned``) are already
+    idempotent and don't need this."""
+    import os
+
+    def inner(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(commit_dir, f"{batch_id}.committed")
+        if os.path.exists(marker):
+            return
+        write_fn(batch_df, batch_id)
+        os.makedirs(commit_dir, exist_ok=True)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("committed")
+        os.rename(tmp, marker)
+
+    return inner

@@ -1772,3 +1772,77 @@ def mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint"),
         "qsim_e6",
     )
+
+
+# ─────────────── weighted reservoir sampling (A-Res) ─────────────
+
+_ARES_K = 20
+_ARES_SPACE = 16**12
+
+
+@register(
+    "weighted_sample_ares",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w,
+         ({hex_int_sql("md5('ares0:' || CAST(doc_id AS VARCHAR))", 12)} + 1)
+           / CAST({_ARES_SPACE} AS DOUBLE) AS u
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, w,
+         CAST(floor(ln(u) / CAST(w AS DOUBLE) * 1000000000.0 + 0.5)
+              AS BIGINT) AS key_e9
+  FROM keyed
+),
+ranked AS (
+  SELECT doc_id, lang, w, key_e9,
+         row_number() OVER (ORDER BY key_e9 DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, lang, w, key_e9, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_ARES_K}
+""",
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis–Spirakis
+    A-Res: each item draws u ~ U(0,1] and ranks by u^(1/w) — the
+    top-k under that key IS an exact weighted sample. Here u is a
+    salt-keyed md5 uniform (seed-reproducible, like
+    corpus_shuffle_order) and the ranking uses the monotone
+    equivalent ln(u)/w, quantized once to integer nano-units so the
+    top-k cut compares integers with a doc_id tie-break. Weight =
+    document length, the usual size-biased corpus sampling.
+
+    Why this shape at scale: A-Res needs ONE pass and a bounded
+    top-k — per-partition heaps merged associatively (here
+    TakeOrderedAndProject) — where naive weighted sampling needs
+    normalized cumulative weights, i.e. a global prefix sum over all
+    items. Changing the salt redraws the sample; the same salt
+    reproduces it exactly, which is what makes pipeline reruns
+    stable."""
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        F.expr(hex_int_sql("md5('ares0:' || CAST(doc_id AS STRING))", 12))
+        + 1
+    ) / F.lit(float(_ARES_SPACE))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.floor(
+            F.log(u) / F.col("n_chars").cast("double") * 1000000000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("key_e9"),
+    )
+    # Scale shape: the top-k cut is an orderBy+limit
+    # (TakeOrderedAndProject: per-partition heaps, driver merge of k
+    # rows) — NEVER a global-order window over the full corpus; the
+    # row numbers then attach on the k-row survivor set only.
+    topk = scored.orderBy(F.desc("key_e9"), "doc_id").limit(_ARES_K)
+    w = Window.orderBy(F.desc("key_e9"), "doc_id")
+    return topk.withColumn("rn", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "lang", "w", "key_e9", "rn"
+    )

@@ -5,8 +5,9 @@ reordering, constant folding, subquery decorrelation — not
 applicable"), but a complete engine must run them; these queries
 exercise the Catalyst rewrites that make correlated SQL scale:
 scalar-subquery decorrelation (Q17), EXISTS/NOT EXISTS → semi/anti
-hash joins (Q21/Q22), IN-subquery over a HAVING aggregate (Q18), and
-outer-join count distributions (Q13). Each query runs the SAME SQL
+hash joins (Q21/Q22), IN-subquery over a HAVING aggregate (Q18),
+outer-join count distributions (Q13), aggregate-equals-scalar-max
+(Q15), and nested IN with a group-key-correlated HAVING (Q20). Each query runs the SAME SQL
 text through spark.sql and the DuckDB oracle, so the driver gate
 verifies both the operator semantics and the SQL front-end.
 
@@ -215,3 +216,75 @@ def tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row broadcast; the anti join shuffles on custkey once."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_Q22_SQL)
+
+
+# ───────────────────────── Q15: agg = scalar max ─────────────────
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("tpch_q15_like", _Q15_SQL)
+def tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by revenue): a derived aggregate
+    referenced TWICE — once as the join input, once inside a scalar
+    MAX subquery the filter compares against. Catalyst evaluates the
+    scalar subquery once (a 1-row broadcast), not per outer row, and
+    the equality is between two decimal-summed doubles computed by
+    the identical expression — so the 'equals the max' cut is exact
+    even though revenue is fractional (a float-summed revenue would
+    make ties engine-dependent). Scale: one shuffle for the revenue
+    agg; the supplier join broadcasts the aggregated side."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q15_SQL)
+
+
+# ───────────── Q20: nested IN + correlated HAVING ────────────────
+
+_Q20_SQL = f"""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_size < 10
+  )
+  GROUP BY l.l_suppkey, l.l_partkey
+  HAVING {dsum_sql('l.l_quantity')} > 0.3 * (
+    SELECT {dsum_sql('l2.l_quantity')}
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("tpch_q20_like", _Q20_SQL)
+def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (dominant suppliers of small parts): THREE
+    nesting levels — an IN whose inner query filters through another
+    IN and whose HAVING compares each (supplier, part) group against
+    a scalar subquery CORRELATED ON THE GROUP KEY (this supplier's
+    share vs the part's total volume). Catalyst decorrelates the
+    inner scalar into a per-part aggregate joined on l_partkey and
+    plans both INs as semi joins — no per-group re-execution. Share
+    threshold compares two decimal sums scaled by an exact binary
+    fraction, so group membership is boundary-exact. Scale: two
+    lineitem aggregations (both keyed on partkey/suppkey) and two
+    semi joins; the part filter pushes into its scan."""
+    _views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_Q20_SQL)

@@ -211,3 +211,29 @@ def test_interval_join_streams_matches_batch(spark, tmp_path):
     }
     assert len(want) > 0
     assert got == want
+
+
+def test_idempotent_foreach_batch_skips_replayed_batches(spark, tmp_path):
+    """An append sink wrapped in the commit-log guard writes each
+    batch id exactly once even when the engine replays it (the
+    failure-recovery contract foreachBatch leaves to the sink)."""
+    from skysafe_datalake_spark.streaming.driver import idempotent_foreach_batch
+
+    out = str(tmp_path / "out")
+    commits = str(tmp_path / "commits")
+
+    def append(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    guarded = idempotent_foreach_batch(append, commits)
+    batch = spark.range(100).withColumnRenamed("id", "v")
+
+    guarded(batch, 7)
+    guarded(batch, 7)  # replay of the same micro-batch: must no-op
+    guarded(batch, 8)  # a new batch id still writes
+
+    got = spark.read.parquet(out)
+    assert got.count() == 200  # 2 distinct batches, no duplicates
+    import os
+
+    assert sorted(os.listdir(commits)) == ["7.committed", "8.committed"]
