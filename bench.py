@@ -102,6 +102,8 @@ HEADLINE = [
     "weighted_sample_ares",
     "tpch_q15_like",
     "tpch_q20_like",
+    "frequent_itempairs",
+    "seasonal_anomaly_baseline",
 ]
 
 

@@ -1095,3 +1095,216 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         "cohort_week", F.col("week_offset").cast("bigint").alias("week_offset")
     ).agg(F.count("*").cast("bigint").alias("n_active_users"))
+
+
+# ─────────────────── frequent item pairs (market basket) ─────────
+
+_MB_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey % 50 AS item FROM lineitem
+),
+item_support AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS s_item FROM baskets GROUP BY item
+),
+n_baskets AS (
+  SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM baskets
+),
+pair_all AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS s_pair
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+pair_stats AS (
+  SELECT CAST(SUM(s_pair) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM pair_all
+),
+pair_support AS (
+  SELECT p.item_a, p.item_b, p.s_pair
+  FROM pair_all p CROSS JOIN pair_stats ps
+  WHERE p.s_pair * ps.n_pairs >= ps.total
+)
+SELECT p.item_a, p.item_b, p.s_pair,
+       sa.s_item AS s_a, sb.s_item AS s_b,
+       floor(CAST(p.s_pair AS DOUBLE) / CAST(sa.s_item AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS confidence_a_to_b,
+       floor(CAST(p.s_pair AS DOUBLE) * CAST(nb.n AS DOUBLE)
+             / (CAST(sa.s_item AS DOUBLE) * CAST(sb.s_item AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM pair_support p
+JOIN item_support sa ON sa.item = p.item_a
+JOIN item_support sb ON sb.item = p.item_b
+CROSS JOIN n_baskets nb
+"""
+
+
+@register("frequent_itempairs", _MB_SQL)
+def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining at the pair level (the 2-item
+    case of A-Priori): support-filtered co-occurring item pairs per
+    order with confidence and lift — the query behind 'frequently
+    bought together'. Items are partkeys folded to a 50-item
+    catalog so baskets genuinely overlap on the synthetic data.
+
+    Scale shape: the basket self-join is keyed on the ORDER (small
+    per-basket fan-out: pairs-per-basket = C(items,2), bounded by
+    basket size), the above-average support floor (exact integer
+    cross-multiply, SF-relative) prunes the pair table before the
+    metric joins (A-Priori's downward-closure cut), and
+    the item-support side is vocabulary-sized and broadcast.
+    Support counts are exact integers; confidence/lift are single
+    fixed IEEE divisions quantized to 1e-6 — deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_partkey") % 50).alias("item"),
+    ).distinct()
+    item_support = baskets.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("s_item")
+    )
+    n_baskets = baskets.agg(
+        F.countDistinct("ok").cast("bigint").alias("n")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_all = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").cast("bigint").alias("s_pair"))
+    )
+    pair_stats = pair_all.agg(
+        F.sum("s_pair").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    # Above-average support: integer cross-multiply keeps the cut
+    # exact and SF-relative (an absolute floor goes empty at small
+    # SFs and toothless at large ones).
+    pair_support = pair_all.crossJoin(F.broadcast(pair_stats)).where(
+        F.col("s_pair") * F.col("n_pairs") >= F.col("total")
+    ).select("item_a", "item_b", "s_pair")
+    sa = item_support.select(
+        F.col("item").alias("item_a"), F.col("s_item").alias("s_a")
+    )
+    sb = item_support.select(
+        F.col("item").alias("item_b"), F.col("s_item").alias("s_b")
+    )
+    out = (
+        pair_support.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    conf = pround(
+        F.col("s_pair").cast("double") / F.col("s_a").cast("double"), 6
+    )
+    lift = pround(
+        F.col("s_pair").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("s_a").cast("double") * F.col("s_b").cast("double")),
+        6,
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "s_pair",
+        "s_a",
+        "s_b",
+        conf.alias("confidence_a_to_b"),
+        lift.alias("lift"),
+    )
+
+
+# ─────────────────── seasonal anomaly baseline ───────────────────
+
+_SEASONAL_SQL = f"""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events
+),
+split AS (
+  SELECT *, (ts < TIMESTAMP '2024-01-22 00:00:00') AS is_history FROM e
+),
+baseline AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {dsum_sql('value')} AS sx,
+         {dsum_sql('value * value', 4)} AS sxx
+  FROM split WHERE is_history
+  GROUP BY event_type, dayofweek(ts) + 1, hour(ts)
+),
+stats AS (
+  SELECT event_type, dow, hod,
+         sx / n AS mu,
+         sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS sigma
+  FROM baseline WHERE n >= 2.0
+)
+SELECT s.event_type, s.dow, s.hod,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN abs(sp.value - s.mu) > 3.0 * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM stats s
+JOIN split sp
+  ON sp.event_type = s.event_type
+ AND CAST(dayofweek(sp.ts) + 1 AS BIGINT) = s.dow
+ AND CAST(hour(sp.ts) AS BIGINT) = s.hod
+WHERE NOT sp.is_history
+GROUP BY s.event_type, s.dow, s.hod
+"""
+
+
+@register("seasonal_anomaly_baseline", _SEASONAL_SQL)
+def seasonal_anomaly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection — the monitoring upgrade
+    of the reference's flat μ+2σ threshold (which flags every rush
+    hour): per (event_type, day-of-week, hour-of-day) cell, fit
+    μ/σ on three weeks of history, then count |x−μ| > 3σ violations
+    in the final week against the MATCHING seasonal cell. μ/σ come
+    from decimal-exact sufficient statistics (n, Σx, Σx²) so the
+    baseline — and therefore each boundary comparison — is
+    bit-reproducible on any partitioning.
+
+    Scale shape: the baseline is one hash aggregation to a
+    (types × 7 × 24)-cell table, broadcast back onto the scoring
+    week — the fact stream never shuffles; thresholds are pure
+    column expressions after the broadcast join."""
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    hist = e.where(F.col("ts") < cutoff)
+    score = e.where(F.col("ts") >= cutoff)
+
+    key = [
+        "event_type",
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ]
+    baseline = hist.groupBy(*key).agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(F.col("value")).alias("sx"),
+        dsum(F.col("value") * F.col("value"), 4).alias("sxx"),
+    )
+    stats = baseline.where(F.col("n") >= 2.0).select(
+        "event_type",
+        "dow",
+        "hod",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * (F.col("n") - 1.0))
+        ).alias("sigma"),
+    )
+    scored = score.select(
+        "value",
+        "event_type",
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).join(F.broadcast(stats), ["event_type", "dow", "hod"])
+    return scored.groupBy("event_type", "dow", "hod").agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("mu")) > 3.0 * F.col("sigma"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )
