@@ -104,6 +104,8 @@ HEADLINE = [
     "tpch_q20_like",
     "frequent_itempairs",
     "seasonal_anomaly_baseline",
+    "cdc_apply_roundtrip",
+    "ohlc_bars",
 ]
 
 

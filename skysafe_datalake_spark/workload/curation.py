@@ -687,3 +687,73 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_gaps"
         ),
     )
+
+
+# ─────────────────── CDC apply (roundtrip closure) ───────────────
+
+_CDC_APPLY_SQL = """
+SELECT o_orderkey AS k,
+       o_orderstatus AS status,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+         + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS cents
+FROM orders WHERE o_orderkey % 7 <> 0
+"""
+
+
+@register("cdc_apply_roundtrip", _CDC_APPLY_SQL)
+def cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The closure property that makes a changefeed trustworthy:
+    apply(snapshot_A, diff(A→B)) must equal snapshot_B exactly. The
+    same synthetic A/B pair as snapshot_diff_cdc; the feed (full new
+    row per insert/update, key per delete) applies as one anti-join
+    (drop deleted + updated keys) plus one union (insert the feed's
+    new images) — O(|A| + |feed|), one shuffle on the key. The
+    oracle is snapshot_B's direct definition, so the gate verifies
+    the diff and the apply TOGETHER: any row the diff missed or the
+    apply mangled breaks the hash.
+
+    This is the consumer half of CDC at scale: downstream replicas
+    apply feeds instead of re-copying snapshots, and the closure
+    invariant is exactly what incremental-replica tests assert."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    snap_a = o.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    snap_b = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            cents + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)
+        ).alias("cents"),
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    changed = (
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | ~F.col("a.status").eqNullSafe(F.col("b.status"))
+        | ~F.col("a.cents").eqNullSafe(F.col("b.cents"))
+    )
+    op = (
+        F.when(F.col("a.k").isNull(), "insert")
+        .when(F.col("b.k").isNull(), "delete")
+        .otherwise("update")
+    )
+    feed = joined.where(changed).select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        op.alias("op"),
+        F.col("b.status").alias("new_status"),
+        F.col("b.cents").alias("new_cents"),
+    )
+    # apply: drop deleted+updated keys from A, add feed's new images.
+    touched = feed.where(F.col("op").isin("delete", "update")).select("k")
+    survivors = snap_a.join(touched, "k", "left_anti")
+    images = feed.where(F.col("op").isin("insert", "update")).select(
+        "k",
+        F.col("new_status").alias("status"),
+        F.col("new_cents").alias("cents"),
+    )
+    return survivors.unionByName(images)

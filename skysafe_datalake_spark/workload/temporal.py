@@ -7,7 +7,7 @@ for the rest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from skysafe_datalake_spark.operators.temporal import asof_join, sessionize
@@ -219,4 +219,79 @@ def gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             gap_s.alias("gap_seconds"),
         )
         .where(F.col("gap_end").isNotNull() & (F.col("gap_seconds") > 21600))
+    )
+
+
+# ─────────────────── OHLC time-series bars ───────────────────────
+
+_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events
+),
+seq AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS bar,
+         value,
+         row_number() OVER w_asc AS rn_a,
+         row_number() OVER w_desc AS rn_d
+  FROM e
+  WINDOW w_asc AS (PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id),
+         w_desc AS (PARTITION BY event_type, date_trunc('hour', ts)
+                    ORDER BY ts DESC, event_id DESC)
+)
+SELECT event_type, bar,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM seq
+GROUP BY event_type, bar
+"""
+
+
+@register("ohlc_bars", _OHLC_SQL)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation (the canonical time-series serving
+    query): per (series, hour) the opening and closing tick plus
+    high/low/volume. Open/close are first/last UNDER A TOTAL ORDER
+    (ts with event_id tie-break) — Spark's first()/last() aggregates
+    are partition-order-dependent and unusable here, so both are
+    row_number picks folded into the same hash aggregation; high/low
+    are plain MIN/MAX and volume an integer-cents sum.
+
+    Scale shape: one shuffle keyed on (series, bar) shared by the
+    two window passes and the final aggregation (same partition
+    key → Catalyst reuses the exchange); nothing touches the driver.
+    At stream time the same query runs per micro-batch with the
+    incremental merge trick (open keeps the min-ts image, close the
+    max) — the distributive shape incremental_agg_merge pins."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    bar = F.date_trunc("hour", F.col("ts"))
+    w_asc = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", bar).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    seq = e.select(
+        "event_type",
+        bar.alias("bar"),
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return seq.groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
     )
