@@ -1009,10 +1009,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver or in RAM. Timestamps compare exactly (microsecond
     integers), so stage assignment is deterministic."""
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # Each stage table is |users|-sized and feeds BOTH the next
+    # stage and the final assembly — localCheckpoint materializes
+    # each once so the event stream isn't re-scanned per branch.
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
+        .localCheckpoint(eager=False)
     )
     c = (
         e.where(F.col("event_type") == "click")
@@ -1020,6 +1024,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
+        .localCheckpoint(eager=False)
     )
     p = (
         e.where(F.col("event_type") == "purchase")
@@ -1027,6 +1032,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("c_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
+        .localCheckpoint(eager=False)
     )
     stage = (
         F.when(F.col("p_ts").isNotNull(), 3)

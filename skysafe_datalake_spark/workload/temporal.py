@@ -264,9 +264,10 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number picks folded into the same hash aggregation; high/low
     are plain MIN/MAX and volume an integer-cents sum.
 
-    Scale shape: one shuffle keyed on (series, bar) shared by the
-    two window passes and the final aggregation (same partition
-    key → Catalyst reuses the exchange); nothing touches the driver.
+    Scale shape: one corpus scan; the (series, bar) exchange is
+    shared by both window passes (the second pass only re-sorts
+    within unchanged partitions) before the final aggregation;
+    nothing touches the driver.
     At stream time the same query runs per micro-batch with the
     incremental merge trick (open keeps the min-ts image, close the
     max) — the distributive shape incremental_agg_merge pins."""
