@@ -653,6 +653,9 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_tws_")
     qn = f"tws_{uuid.uuid4().hex[:8]}"
+    # Same state-store sizing note as streaming_interval_join.
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         e.repartition(4).write.parquet(f"{tmp}/in")
         stream = (
@@ -680,6 +683,7 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
         )
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -726,6 +730,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_ssj_")
     qn = f"ssj_{uuid.uuid4().hex[:8]}"
+    # Stateful streaming gets NO AQE coalescing: every shuffle
+    # partition owns a state-store instance for the life of the
+    # query, so partition count must be sized to stream volume
+    # up front (32 stores on a 4k-row replay more than doubles
+    # wall time on instance setup/commit alone).
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
@@ -772,6 +783,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         return spark.table(qn).localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
