@@ -304,3 +304,37 @@ def test_results_invariant_under_repartitioning(spark):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_global_rank_matches_naive_enumerate(spark, rows):
+    """Two-phase distributed ranking == sorted enumerate, on arbitrary
+    data with duplicate sort values (the unique id tie-break makes
+    the order total)."""
+    from skysafe_datalake_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(rows, "v int, uid long")
+    got = {
+        r.uid: r.rank
+        for r in global_rank(
+            df, [F.col("v").desc(), F.col("uid")], num_partitions=4
+        ).collect()
+    }
+    expect = {
+        uid: i + 1
+        for i, (v, uid) in enumerate(
+            sorted(rows, key=lambda t: (-t[0], t[1]))
+        )
+    }
+    assert got == expect
