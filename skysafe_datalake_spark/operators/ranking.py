@@ -54,16 +54,18 @@ def global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    return (
-        numbered.withColumn(
-            rank_name,
-            (
-                F.coalesce(offset_map[F.col("_gr_pid")], F.lit(0))
-                + F.col("_gr_intra")
-            ).cast("bigint"),
+    if any(offsets.values()):
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
         )
-        .drop("_gr_pid", "_gr_intra")
+        rank = F.coalesce(offset_map[F.col("_gr_pid")], F.lit(0)) + F.col(
+            "_gr_intra"
+        )
+    else:
+        # Empty input or everything in the first partition: all
+        # offsets are zero (an empty create_map() is VOID-typed and
+        # unusable as a lookup — skip it entirely).
+        rank = F.col("_gr_intra")
+    return numbered.withColumn(rank_name, rank.cast("bigint")).drop(
+        "_gr_pid", "_gr_intra"
     )

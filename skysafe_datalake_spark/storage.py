@@ -77,6 +77,21 @@ def compact(
     import shutil
     import uuid
 
+    partition_dirs = [
+        d
+        for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+    if partition_dirs:
+        # A flat rewrite would silently collapse the partition layout
+        # (and its pruning). Compact leaf partitions individually —
+        # which is also the right unit of parallelism for the job.
+        raise ValueError(
+            f"compact() operates on leaf directories; {path} is "
+            f"hive-partitioned ({partition_dirs[0]}, ...) — compact "
+            "each partition directory instead"
+        )
+
     df = spark.read.format(fmt).load(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))

@@ -338,3 +338,13 @@ def test_global_rank_matches_naive_enumerate(spark, rows):
         )
     }
     assert got == expect
+
+
+def test_global_rank_empty_and_single(spark):
+    from skysafe_datalake_spark.operators.ranking import global_rank
+
+    empty = spark.createDataFrame([], "v int, uid long")
+    out = global_rank(empty, [F.col("v"), F.col("uid")], num_partitions=4)
+    assert out.count() == 0 and out.columns == ["v", "uid", "rank"]
+    one = spark.createDataFrame([(5, 1)], "v int, uid long")
+    assert global_rank(one, [F.col("v"), F.col("uid")]).first().rank == 1

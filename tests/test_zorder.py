@@ -146,3 +146,19 @@ def test_zorder_and_compact_tolerate_empty_and_tiny(spark, tmp_path):
     assert sorted(
         r.v for r in spark.read.parquet(str(tmp_path / "one")).collect()
     ) == [1, 2, 3, 4, 5]
+
+
+def test_compact_refuses_partitioned_dir(spark, tmp_path):
+    """Compacting a hive-partitioned root would flatten the layout
+    (and its pruning) — must refuse with a clear message."""
+    from skysafe_datalake_spark.storage import compact
+
+    path = str(tmp_path / "parted")
+    spark.range(100).withColumn("p", F.col("id") % 3).write.partitionBy(
+        "p"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="leaf directories"):
+        compact(spark, path, target_file_mb=1)
+    # A leaf partition compacts fine.
+    n = compact(spark, f"{path}/p=1", target_file_mb=64)
+    assert n == 1
