@@ -1314,3 +1314,107 @@ def seasonal_anomaly_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalies"),
     )
+
+
+# ───────────────────── closed-form OLS regression ────────────────
+
+_LINREG_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+pts AS (
+  SELECT event_type,
+         CAST(datediff('hour', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS x,
+         value AS y
+  FROM e
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         {dsum_sql('y')} AS sy,
+         {dsum_sql('x * y', 4)} AS sxy,
+         {dsum_sql('y * y', 4)} AS syy
+  FROM pts
+  GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, n, sx, sxx, sy, sxy, syy,
+         (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s
+)
+SELECT event_type,
+       n AS n_points,
+       floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope_per_hour,
+       floor(((sy - slope * sx) / n) * 1000000.0 + 0.5) / 1000000.0
+         AS intercept,
+       floor((slope * slope * (n * sxx - sx * sx)
+              / (n * syy - sy * sy)) * 1000000.0 + 0.5) / 1000000.0 AS r2,
+       floor(((sy - slope * sx) / n + slope * 720.0) * 10000.0 + 0.5)
+         / 10000.0 AS forecast_h720
+FROM fit
+"""
+
+
+@register("ml_linreg_by_group", _LINREG_SQL)
+def ml_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend fit in closed form —
+    the "fit a line to every key" primitive of monitoring/forecast
+    pipelines (value-vs-time per event type, with the fitted line's
+    h=720 extrapolation as a one-step forecast). Instead of MLlib's
+    iterative LinearRegression, the normal equations are evaluated as
+    ONE aggregation pass: slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²),
+    intercept and R² from the same six sufficient statistics. That
+    makes it embarrassingly parallel — map-side partial sums, no
+    driver fit, no iteration — and exactly DuckDB-checkable where a
+    gradient-based fit would never be.
+
+    Determinism: x is an integer hour offset from a fixed epoch
+    (boundary-exact in both engines since the base is on the hour);
+    Σy/Σxy/Σy² go through the decimal-sum convention so every
+    sufficient statistic is partition-order-invariant; the closed
+    form then runs the same double-op sequence in both engines, and
+    results surface under the workload rounding convention. Scale:
+    one hash-agg shuffle on the group key — adding a millionth group
+    or a billion rows changes nothing structurally; x is centered at
+    the epoch base to keep Σx² within bigint at any horizon."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01', ts) AS BIGINT)"
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 4).alias("sxy"),
+        dsum(F.col("y") * F.col("y"), 4).alias("syy"),
+    )
+    fit = s.withColumn(
+        "slope",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        ),
+    )
+    return fit.select(
+        "event_type",
+        F.col("n").alias("n_points"),
+        pround(F.col("slope"), 6).alias("slope_per_hour"),
+        pround((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n"), 6)
+            .alias("intercept"),
+        pround(
+            F.col("slope") * F.col("slope")
+            * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+            6,
+        ).alias("r2"),
+        pround(
+            (F.col("sy") - F.col("slope") * F.col("sx")) / F.col("n")
+            + F.col("slope") * 720.0,
+            4,
+        ).alias("forecast_h720"),
+    )

@@ -56,12 +56,14 @@ def _green(row: dict) -> bool:
     return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
 
-def _latest_green_round() -> dict[str, int]:
+def _gate_history() -> tuple[dict[str, int], set[str]]:
+    """(latest green round per query, set of queries ever checked)."""
     import json
     import re
     from pathlib import Path
 
     latest: dict[str, int] = {}
+    checked: set[str] = set()
     repo_root = Path(__file__).resolve().parents[2]
     for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
@@ -73,15 +75,32 @@ def _latest_green_round() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and _green(row):
+            if not isinstance(row, dict):
+                continue
+            checked.add(name)
+            if _green(row):
                 latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+    return latest, checked
 
 
 def _apply_staleness_order() -> None:
-    latest = _latest_green_round()
+    latest, checked = _gate_history()
     import_idx = {n: i for i, n in enumerate(QUERIES)}
-    ordered = sorted(QUERIES, key=lambda n: (latest.get(n, 0), import_idx[n]))
+
+    def key(n: str):
+        if n in checked and n not in latest:
+            cls = 0  # checked and red: a fix awaiting re-verification
+        elif n not in checked:
+            # Never gate-checked. Within this class the same-SQL-text
+            # battery (spark.sql(X) vs DuckDB(X)) carries the least
+            # divergence risk — custom operators go first when the
+            # window can't fit everything.
+            cls = 2 if n.startswith("tpch_q") else 1
+        else:
+            cls = 3  # green: ascending staleness
+        return (cls, latest.get(n, 0), import_idx[n])
+
+    ordered = sorted(QUERIES, key=key)
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -288,3 +288,433 @@ def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi joins; the part filter pushes into its scan."""
     _views(spark, sf_dir, "supplier", "lineitem", "part")
     return spark.sql(_Q20_SQL)
+
+
+# ───────────────────────── Q2: correlated MIN subquery ───────────
+
+_Q2_SQL = """
+SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+       l.l_extendedprice AS min_price
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND p.p_size = 15
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p.p_partkey
+      AND r2.r_name = 'EUROPE'
+  )
+GROUP BY p.p_partkey, p.p_brand, s.s_name, n.n_name, l.l_extendedprice
+"""
+
+
+@register("tpch_q2_like", _Q2_SQL)
+def tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): a correlated MIN subquery
+    over the same join tree as the outer query (lineitem stands in
+    for partsupp — the testdata has no partsupp table, but
+    l_partkey+l_suppkey is the same part↔supplier bridge). Catalyst
+    decorrelates the MIN into one aggregate grouped by partkey and
+    joins it back — the outer tree is never re-executed per row. The
+    equality compares a STORED double against MIN of the same stored
+    column (no arithmetic), so the qualifying set is exact. The
+    trailing GROUP BY dedupes multiple line items at the min price so
+    the result is a set, not a bag. Scale: the region/nation/supplier
+    dims broadcast; lineitem shuffles once on partkey for the
+    decorrelated MIN and once for the join back."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q2_SQL)
+
+
+# ───────────────────────── Q4: EXISTS + date-window agg ──────────
+
+_Q4_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_like", _Q4_SQL)
+def tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS whose inner
+    predicate references BOTH sides (l_shipdate > o_orderdate + 30
+    days — the reference uses commitdate<receiptdate; the testdata
+    lineitem has neither column, so ship-lag-after-order carries the
+    same correlated-inequality shape). Catalyst plans it as a
+    left-semi join on orderkey with the inequality as a join residual.
+    Date math is integer-day arithmetic — exact. Scale: the quarter
+    filter prunes orders at the scan; one shuffle on orderkey."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+# ───────────────────────── Q6: single-scan filter agg ────────────
+
+_Q6_SQL = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24.0
+"""
+
+
+@register("tpch_q6_like", _Q6_SQL)
+def tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the canonical
+    scan-dominated query — no join, every predicate pushes into the
+    parquet reader (date range, discount band, quantity cap all show
+    as PushedFilters), one global aggregate with map-side partials.
+    Discount bounds compare STORED doubles against constants (the
+    generator emits 11 discrete discount values; 0.02/0.04 are exact
+    binary-representable comparisons on unmodified column values).
+    The revenue product goes through the decimal-sum convention.
+    At 100 TB this query is pure scan throughput — the plan has no
+    shuffle at all until the single-row final agg."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+# ───────────────────────── Q7: volume shipping ───────────────────
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume', 4)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1.0 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+     OR (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("tpch_q7_like", _Q7_SQL)
+def tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between trading blocs): a
+    6-way join where the interesting predicate is a symmetric OR over
+    the two dimension legs (Europe↔Asia in either direction — region
+    pairs rather than the reference's nation pairs, because the
+    testdata's 10 suppliers don't guarantee any single nation is
+    populated across scale factors). Group key includes a
+    year extracted from the ship date. Scale: nation/region/supplier
+    /customer all broadcast; lineitem→orders is the only real
+    shuffle; the OR cannot push into one dim scan but Catalyst still
+    prunes both region scans to the two named regions."""
+    _views(
+        spark, sf_dir,
+        "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+    return spark.sql(_Q7_SQL)
+
+
+# ───────────────────────── Q8: market share ratio ────────────────
+
+_Q8_SQL = f"""
+SELECT o_year,
+       {dsum_sql('euro_volume', 4)} / {dsum_sql('volume', 4)} AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+         CASE WHEN r1.r_name = 'EUROPE'
+              THEN l.l_extendedprice * (1.0 - l.l_discount)
+              ELSE 0.0 END AS euro_volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+  WHERE r2.r_name = 'ASIA'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("tpch_q8_like", _Q8_SQL)
+def tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): ratio of a CASE-gated sum to
+    the total sum per group — European suppliers' share of
+    Asian-customer revenue by order year. Both numerator and
+    denominator go through exact decimal sums and meet in ONE double
+    division per group, so the ratio is bit-identical across engines
+    and partition orders (two float sums would each drift
+    independently and the division would amplify it). Scale: same
+    join graph as Q7 — dims broadcast, one lineitem↔orders shuffle;
+    the CASE costs nothing extra since both branches read the same
+    columns."""
+    _views(
+        spark, sf_dir,
+        "lineitem", "supplier", "orders", "customer", "nation", "region",
+    )
+    return spark.sql(_Q8_SQL)
+
+
+# ───────────────────────── Q9: profit by nation × year ───────────
+
+_Q9_SQL = f"""
+SELECT nation, o_year,
+       {dsum_sql('amount', 4)} AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1.0 - l.l_discount)
+           - 0.1 * p.p_retailprice * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("tpch_q9_like", _Q9_SQL)
+def tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): revenue minus a cost
+    term (0.1·retailprice·quantity stands in for the missing
+    partsupp.ps_supplycost) over a 5-way join with a LIKE filter on
+    part name, grouped by supplier nation and order year. The profit
+    expression is computed per row in double then decimal-summed —
+    the one rounding step happens at a deterministic per-row point,
+    not across a partition-ordered float sum. Scale: part/supplier/
+    nation broadcast; the LIKE pushes to the part scan as a
+    StringContains filter; lineitem shuffles once to meet orders."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "nation", "orders")
+    return spark.sql(_Q9_SQL)
+
+
+# ───────────────────────── Q10: returned-item ranking ────────────
+
+_Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+       {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)', 4)} AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_like", _Q10_SQL)
+def tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): quarter-filtered
+    3-way join restricted to returned lines, grouped per customer,
+    global top-20 by revenue. The revenue sort key is a decimal sum
+    (exact), and c_custkey breaks ties, so the LIMIT cut is
+    deterministic across engines — a float revenue would make rank
+    19/20/21 engine-dependent. Scale: plans as
+    TakeOrderedAndProject (per-partition top-20, driver merges k·p
+    rows); the date filter prunes the orders scan."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL)
+
+
+# ───────────────────────── Q11: value concentration ──────────────
+
+_Q11_SQL = f"""
+WITH part_value AS (
+  SELECT l_partkey,
+         {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)} AS value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value
+FROM part_value
+WHERE value > (
+  SELECT 1.5 * {dsum_sql('l_extendedprice * (1.0 - l_discount)', 4)}
+           / COUNT(DISTINCT l_partkey)
+  FROM lineitem
+)
+ORDER BY value DESC, l_partkey
+"""
+
+
+@register("tpch_q11_like", _Q11_SQL)
+def tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-key
+    aggregate filtered against a FRACTION OF THE GLOBAL aggregate —
+    the HAVING-vs-scalar-subquery pattern (parts whose traded value
+    exceeds 1.5× the average per-part value; lineitem value stands in
+    for the missing partsupp stock value, and the threshold is
+    relative to the per-part average because an absolute fraction of
+    the total — the reference's 0.0001/SF — empties out as the part
+    count grows with scale). Both sides of the comparison are
+    decimal-summed doubles; the scaling and compare are single double
+    ops — boundary-exact. Catalyst evaluates the scalar
+    subquery once as a 1-row broadcast. Scale: two scans of lineitem
+    (per-part agg + global agg — AQE reuses the shuffle if staged),
+    one shuffle on partkey; the global agg is map-side-combined to a
+    single row per partition."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q11_SQL)
+
+
+# ───────────────────────── Q12: priority class counts ────────────
+
+_Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY l.l_returnflag
+"""
+
+
+@register("tpch_q12_like", _Q12_SQL)
+def tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): join with a
+    cross-table inequality residual (shipped after ordered; the
+    testdata has no l_shipmode/commitdate so returnflag is the group
+    key) and two complementary CASE-gated integer counts. Pure
+    integer aggregation — no float anywhere past the filter. The
+    explicit CAST AS BIGINT keeps DuckDB's SUM from widening to
+    HUGEINT (which the gate canonicalizer renders as float64).
+    Scale: one shuffle on orderkey; the year filter pushes into the
+    lineitem scan; both CASE sums fold into one hash-agg pass."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12_SQL)
+
+
+# ───────────────────────── Q14: promo revenue ratio ──────────────
+
+_Q14_SQL = f"""
+SELECT 100.0 * {dsum_sql('promo_rev', 4)} / {dsum_sql('rev', 4)}
+         AS promo_pct
+FROM (
+  SELECT l.l_extendedprice * (1.0 - l.l_discount) AS rev,
+         CASE WHEN p.p_type = 'PROMO'
+              THEN l.l_extendedprice * (1.0 - l.l_discount)
+              ELSE 0.0 END AS promo_rev
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l.l_shipdate < TIMESTAMP '1996-10-01'
+) month_lines
+"""
+
+
+@register("tpch_q14_like", _Q14_SQL)
+def tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): single-month join with a
+    CASE-gated numerator over the same measure as the denominator,
+    surfaced as one percentage row. Decimal sums on both sides, then
+    exactly two double ops (multiply by 100, one division) — the
+    published number is bit-stable. Scale: part broadcasts; the
+    month filter prunes the lineitem scan to ~1/80th of the table
+    before the join; the final agg is a single row."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL)
+
+
+# ───────────────────────── Q16: supplier-count distribution ──────
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0
+  )
+GROUP BY p.p_brand, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+"""
+
+
+@register("tpch_q16_like", _Q16_SQL)
+def tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    per group with a NOT IN anti-subquery excluding flagged suppliers
+    (lineitem bridges part↔supplier in lieu of partsupp; acctbal<2000
+    replaces the complaint-LIKE so the excluded set is non-empty in
+    the synthetic data). Catalyst plans NOT IN as a null-aware anti
+    join — s_suppkey is non-null here so it degenerates to a plain
+    left-anti broadcast. COUNT DISTINCT expands to a two-phase
+    aggregate (dedup shuffle, then count) — exact, no HLL. Scale:
+    the IN-list and brand/type predicates push to the part scan; one
+    shuffle on the distinct key."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_Q16_SQL)
+
+
+# ───────────────────────── Q19: disjunctive theta join ───────────
+
+_Q19_SQL = f"""
+SELECT {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1.0 AND l.l_quantity <= 11.0)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10.0 AND l.l_quantity <= 20.0)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20.0 AND l.l_quantity <= 30.0)
+"""
+
+
+@register("tpch_q19_like", _Q19_SQL)
+def tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an equi-join whose filter is an OR of three conjunctions mixing
+    columns from BOTH sides. Catalyst keeps the equi-key as the hash
+    join condition and evaluates the disjunction as a post-join
+    residual, while the single-side implications (brand IN the three
+    named brands, size ≤ 15, quantity ≤ 30) are inferred nowhere —
+    which is exactly why the shape is in the battery: the plan must
+    stay correct under predicates it cannot decompose. Quantity
+    bounds compare stored integral-valued doubles — exact. Scale:
+    part broadcasts; lineitem is scanned once with no shuffle before
+    the final 1-row agg."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL)
