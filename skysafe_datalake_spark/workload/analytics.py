@@ -1418,3 +1418,108 @@ def ml_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("forecast_h720"),
     )
+
+
+# ───────────────────── k-hop BFS reachability ────────────────────
+
+_BFS_BACKBONE = 5000
+_BFS_HOPS = 3
+
+_BFS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS ok, p AS node FROM (
+    SELECT l_orderkey, l_partkey AS p FROM lineitem
+  )
+),
+raw_edges AS (
+  SELECT a.node AS u, b.node AS v
+  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.node < b.node
+  GROUP BY a.node, b.node
+  ORDER BY COUNT(*) DESC, a.node, b.node
+  LIMIT {_BFS_BACKBONE}
+),
+und AS (
+  SELECT u AS a, v AS b FROM raw_edges
+  UNION ALL
+  SELECT v AS a, u AS b FROM raw_edges
+),
+seed AS (SELECT MIN(u) AS s FROM raw_edges),
+walks AS (
+  SELECT s AS node, 0 AS dist FROM seed
+  UNION ALL
+  SELECT e1.b, 1 FROM und e1, seed WHERE e1.a = seed.s
+  UNION ALL
+  SELECT e2.b, 2 FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  CROSS JOIN seed WHERE e1.a = seed.s
+  UNION ALL
+  SELECT e3.b, 3 FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e2.b
+  CROSS JOIN seed WHERE e1.a = seed.s
+)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(MIN(dist) AS BIGINT) AS dist
+FROM walks
+GROUP BY node
+"""
+
+
+@register("bfs_khop_reach", _BFS_SQL)
+def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop distance from a seed node out to 3 hops on the part
+    co-occurrence graph (edge = two parts share an order; top-5000
+    strongest edges, the same bounded-backbone guard as
+    graph_triangles). The Spark side runs FRONTIER BFS — per hop,
+    expand only nodes discovered last round and anti-join away nodes
+    already labeled — which touches each edge O(1) times per hop.
+    The oracle's twin instead enumerates ALL walks ≤3 hops and takes
+    MIN(dist) per node: same answer by definition of shortest path,
+    tractable on the bounded backbone, but quadratic-blowup-prone —
+    the contrast is deliberate (the unrolled form is the spec, the
+    frontier form is the scale plan; at 1000 executors the frontier
+    is a few equi-join shuffles on node id per hop, with no
+    walk-count explosion on dense neighborhoods).
+
+    The seed is MIN(node) — one driver scalar from a 1-row aggregate
+    (bounded-collect exception, like the ML centroid pull). Fixed
+    hop count keeps both sides loop-free; the streaming/iterative
+    generalization is pagerank_integer's checkpoint-every-3-rounds
+    pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("node")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.node") < F.col("b.node"))
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.desc("w"), "u", "v")
+        .limit(_BFS_BACKBONE)
+        .select("u", "v")
+    )
+    edges = edges.localCheckpoint()  # cut lineage once; reused 3×
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    seed = edges.agg(F.min("u")).first()[0]  # 1-row scalar pull
+
+    dist = spark.createDataFrame([(seed, 0)], "node long, dist int")
+    frontier = dist.select("node")
+    for hop in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()  # materialize the frontier once
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist.select(
+        F.col("node").cast("bigint"), F.col("dist").cast("bigint")
+    )
