@@ -363,3 +363,104 @@ def lsh_bucket_candidates(
         .withColumn("cosine_raw", cosine(F.col("_qv"), F.col("_cv")))
         .select(query_id, corpus_id, "bucket", "cosine_raw")
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id_value,
+    *,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    n_subspaces: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """Product-quantization ANN: compress each vector into
+    ``n_subspaces`` small codes, then rank the corpus against a query
+    by asymmetric distance (ADC) — query-to-cell-centroid distances
+    summed over subspaces — without ever touching full vectors at
+    query time. Completes the ANN trio (LSH buckets, IVF cells, PQ
+    codes): LSH and IVF prune WHICH vectors are scored; PQ shrinks
+    WHAT is stored and scored (8 bytes/vector here vs 256 for raw
+    float32×64), which is what makes billion-vector indexes fit in
+    memory at all.
+
+    The codebook is deterministic so a SQL oracle can re-derive it:
+    each dimension contributes one sign bit against its global mean
+    (8 dims → 8-bit code per subspace), and each populated
+    (subspace, code) cell's centroid is the mean of its member
+    subvectors — i.e. a 1-bit scalar quantizer per dim with empirical
+    cell centers, the same estimate a PQ k-means would converge to
+    under that partition. Production swaps in sampled k-means
+    codebooks; every downstream step (code assignment, LUT build,
+    ADC scoring) is unchanged.
+
+    Scale shape: code assignment and centroid training shuffle slim
+    (id, subspace, code/value) rows once each — at 100 TB the
+    training step runs on a sample, assignment stays a full-scan
+    map; the per-query lookup table is ≤ n_subspaces·256 rows
+    (broadcast), and scoring is one equi-join on (subspace, code)
+    plus a map-side-combined SUM per vector — no pairwise blowup
+    anywhere. All sums ride the decimal-sum convention so distances
+    are partition-order-exact.
+    """
+    from skysafe_datalake_spark.workload.relational import dsum
+
+    sub_dim = dim // n_subspaces
+    dims = emb.select(
+        F.col(id_col),
+        F.posexplode(vec).alias("d", "valf"),
+    ).select(
+        id_col,
+        F.col("d").cast("bigint").alias("d"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    mu = dims.groupBy("d").agg(
+        (dsum(F.col("val"), 8) / F.count("*")).alias("mu")
+    )
+    dm = dims.join(F.broadcast(mu), "d")
+    bits = dm.groupBy(
+        F.col(id_col),
+        F.expr(f"CAST(d DIV {sub_dim} AS BIGINT)").alias("s"),
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("val") >= F.col("mu"),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(d % {sub_dim} AS INT))"
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("code")
+    )
+    sub = dims.select(
+        id_col,
+        F.expr(f"CAST(d DIV {sub_dim} AS BIGINT)").alias("s"),
+        F.expr(f"CAST(d % {sub_dim} AS BIGINT)").alias("j"),
+        "val",
+    )
+    cent = (
+        sub.join(bits, [id_col, "s"])
+        .groupBy("s", "code", "j")
+        .agg((dsum(F.col("val"), 8) / F.count("*")).alias("c"))
+    )
+    q = sub.where(F.col(id_col) == query_id_value).select(
+        "s", "j", F.col("val").alias("qv")
+    )
+    lut = (
+        cent.join(F.broadcast(q), ["s", "j"])
+        .groupBy("s", "code")
+        .agg(
+            dsum(
+                (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c")), 10
+            ).alias("dist_sq")
+        )
+    )
+    scored = (
+        bits.where(F.col(id_col) != query_id_value)
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy(id_col)
+        .agg(dsum(F.col("dist_sq"), 10).alias("adist"))
+    )
+    return scored.orderBy("adist", id_col).limit(k)

@@ -703,3 +703,75 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maybe.join(
         build, maybe["c_custkey"] == build["o_custkey"], "left_semi"
     ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ───────────────── product-quantization ANN (ADC) ────────────────
+
+_PQ_SQL = """
+WITH dims AS (
+  SELECT vec_id, g.d AS d, CAST(embedding[g.d + 1] AS DOUBLE) AS val
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS d) g
+),
+mu AS (
+  SELECT d, CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mu
+  FROM dims GROUP BY d
+),
+bits AS (
+  SELECT vec_id, CAST(dims.d // 8 AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN val >= mu
+                       THEN CAST(1 AS BIGINT) << CAST(dims.d % 8 AS INT)
+                       ELSE 0 END) AS BIGINT) AS code
+  FROM dims JOIN mu ON mu.d = dims.d
+  GROUP BY vec_id, dims.d // 8
+),
+sub AS (
+  SELECT vec_id, CAST(d // 8 AS BIGINT) AS s, CAST(d % 8 AS BIGINT) AS j, val
+  FROM dims
+),
+cent AS (
+  SELECT b.s, b.code, sub.j,
+         CAST(SUM(CAST(val AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS c
+  FROM sub JOIN bits b ON b.vec_id = sub.vec_id AND b.s = sub.s
+  GROUP BY b.s, b.code, sub.j
+),
+q AS (
+  SELECT s, j, val AS qv FROM sub
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+lut AS (
+  SELECT cent.s, cent.code,
+         CAST(SUM(CAST((qv - c) * (qv - c) AS DECIMAL(18,10))) AS DOUBLE)
+           AS dist_sq
+  FROM cent JOIN q ON q.s = cent.s AND q.j = cent.j
+  GROUP BY cent.s, cent.code
+),
+scored AS (
+  SELECT b.vec_id,
+         CAST(SUM(CAST(dist_sq AS DECIMAL(18,10))) AS DOUBLE) AS adist
+  FROM bits b
+  JOIN lut ON lut.s = b.s AND lut.code = b.code
+  WHERE b.vec_id <> (SELECT MIN(vec_id) FROM embeddings)
+  GROUP BY b.vec_id
+)
+SELECT vec_id, adist
+FROM scored
+ORDER BY adist, vec_id
+LIMIT 10
+"""
+
+
+@register("ann_pq_topk", _PQ_SQL)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 for the lowest-id query vector
+    (operators.similarity.pq_topk): 64-dim vectors → 8 subspaces ×
+    8-bit codes, per-query 2048-row lookup table, asymmetric-distance
+    scoring via one (subspace, code) equi-join. The oracle re-derives
+    the identical deterministic codebook (sign-vs-dimension-mean
+    quantizer, empirical cell centroids) and the identical exact ADC
+    ranking — see pq_topk's docstring for why this is the
+    memory-side complement to the LSH/IVF pruning paths."""
+    from skysafe_datalake_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qid = emb.agg(F.min("vec_id")).first()[0]  # 1-row scalar pull
+    return pq_topk(emb, qid, k=10)

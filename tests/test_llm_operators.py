@@ -200,3 +200,34 @@ def test_block_neardup_tiled_matches_gemm(spark):
     # auto with a tiny budget must take the tiled route and still agree
     auto = pairs(block_neardup_pairs(emb, max_broadcast_rows=17))
     assert auto == gemm
+
+
+# ───────────────────── product quantization ──────────────────────
+
+
+def test_pq_topk_recall_and_shape(spark):
+    """PQ ADC ranking must actually approximate the exact L2 ranking
+    on clustered data (parity with the oracle proves determinism, not
+    usefulness). Build 3 well-separated 16-dim clusters; the query's
+    PQ top-5 must come from the query's own cluster."""
+    import random
+
+    from skysafe_datalake_spark.operators.similarity import pq_topk
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[5.0] * 16, [-5.0] * 16, [0.0] * 8 + [9.0] * 8]
+    vid = 0
+    for c in centers:
+        for _ in range(10):
+            rows.append((vid, [x + rng.uniform(-0.5, 0.5) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk(emb, 0, dim=16, n_subspaces=4, k=5).collect()
+    assert len(out) == 5
+    # query 0 is in cluster 0 (ids 0-9): all 5 neighbors must be too
+    ids = {r["vec_id"] for r in out}
+    assert ids <= set(range(1, 10)), ids
+    # distances are monotone non-decreasing in rank order
+    dists = [r["adist"] for r in out]
+    assert dists == sorted(dists)
