@@ -228,18 +228,27 @@ def interval_join_streams(
     right_ts: str,
     watermark: str = "2 hours",
     within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded by an event-time interval:
-    right rows match left rows with the same key whose timestamp
-    falls in ``[left_ts, left_ts + within]`` (the click→purchase
-    attribution shape). Both sides carry watermarks and the join
-    condition bounds event time in BOTH directions, so Spark can
-    compute a state eviction horizon for each side — without the
-    interval bound a stream-stream join must keep all history
-    (unbounded state). Inputs must have disjoint column names.
-    Works identically on batch inputs (plain range-condition join),
-    which is what the parity test exploits.
-    """
+    """Stream-stream join bounded by an event-time interval: right
+    rows match left rows with the same key whose timestamp falls in
+    ``[left_ts, left_ts + within]`` (the click→purchase attribution
+    shape). Both sides carry watermarks and the join condition bounds
+    event time in BOTH directions, so Spark can compute a state
+    eviction horizon for each side — without the interval bound a
+    stream-stream join must keep all history (unbounded state).
+    Inputs must have disjoint column names. Works identically on
+    batch inputs (plain range-condition join), which is what the
+    parity test exploits.
+
+    ``how="left_outer"`` additionally emits null-padded left rows —
+    but only once the GLOBAL watermark (min across both streams) has
+    passed a row's match window, because until then a matching right
+    row could still arrive. Consequence for replays/backfills: the
+    final unmatched rows sit in state until some later batch advances
+    the watermark past them — a terminating availableNow run must
+    push one watermark-advancing row through BOTH streams and run one
+    more trigger to flush them (see streaming_left_outer_join)."""
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = right.withWatermark(right_ts, watermark)
     cond = (
@@ -247,7 +256,7 @@ def interval_join_streams(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return l_wm.join(r_wm, cond, "inner")
+    return l_wm.join(r_wm, cond, how)
 
 
 def idempotent_foreach_batch(write_fn, commit_dir: str):

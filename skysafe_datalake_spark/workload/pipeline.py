@@ -842,3 +842,122 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# ─────────── stream-stream LEFT OUTER join (gate query) ──────────
+
+_SLOJ_SQL = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                  event_type FROM events)
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("streaming_left_outer_join", _SLOJ_SQL)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click is
+    attributed to purchases within 30 minutes, and clicks with NO
+    purchase are emitted null-padded — but a streaming outer join may
+    only emit a null row after the global watermark proves no match
+    can still arrive. That makes the replay protocol the interesting
+    part: a terminating availableNow pass leaves the last window's
+    unmatched rows parked in the state store, so this runs TWO
+    passes against one checkpoint (parquet sink — memory sinks can't
+    recover a checkpoint): pass 1 replays the real data, then a
+    far-future sentinel row is appended to BOTH input streams and
+    pass 2 advances the global watermark past all real event time,
+    flushing every surviving left row. The sentinel is filtered from
+    the result, which then equals the batch LEFT JOIN — the oracle.
+
+    Scale shape: identical to the inner interval join (state hashed
+    by user_id, eviction horizon from the interval bound); the
+    flush adds one near-empty micro-batch. In production the stream
+    never terminates and ordinary event flow advances the watermark
+    — the sentinel is purely a bounded-replay device."""
+    import uuid
+
+    from skysafe_datalake_spark.streaming.driver import interval_join_streams
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="skysafe_sloj_")
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        clicks_b = e.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases_b = e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        clicks_b.write.parquet(f"{tmp}/clicks")
+        purchases_b.write.parquet(f"{tmp}/purchases")
+        flush_ts = e.agg(
+            F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
+        ).first()[0]  # 1-row scalar: sentinel past every real window
+
+        def run_pass() -> None:
+            clicks = spark.readStream.schema(
+                "click_id bigint, c_user bigint, c_ts timestamp"
+            ).parquet(f"{tmp}/clicks")
+            purchases = spark.readStream.schema(
+                "purchase_id bigint, p_user bigint, p_ts timestamp"
+            ).parquet(f"{tmp}/purchases")
+            joined = interval_join_streams(
+                clicks,
+                purchases,
+                left_key="c_user",
+                right_key="p_user",
+                left_ts="c_ts",
+                right_ts="p_ts",
+                watermark="1 hour",
+                within="30 minutes",
+                how="left_outer",
+            ).select(
+                "click_id",
+                "purchase_id",
+                F.col("c_user").alias("user_id"),
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+                ).cast("bigint").alias("delay_s"),
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_pass()
+        spark.createDataFrame(
+            [(-1, -1, flush_ts)],
+            "click_id bigint, c_user bigint, c_ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/clicks")
+        spark.createDataFrame(
+            [(-1, -1, flush_ts)],
+            "purchase_id bigint, p_user bigint, p_ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/purchases")
+        run_pass()
+        out = (
+            spark.read.parquet(f"{tmp}/out")
+            .where(F.col("click_id") >= 0)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
