@@ -52,6 +52,14 @@ NAMES = [
     "incremental_agg_merge",
     "funnel_conversion",
     "spatial_bbox_join",
+    # round-3 later additions
+    "tpch_q9_like",
+    "tpch_q16_like",
+    "tpch_q19_like",
+    "bloom_semi_prune",
+    "bfs_khop_reach",
+    "ann_pq_topk",
+    "ml_linreg_by_group",
 ]
 
 

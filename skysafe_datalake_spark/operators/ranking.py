@@ -69,3 +69,85 @@ def global_rank(
     return numbered.withColumn(rank_name, rank.cast("bigint")).drop(
         "_gr_pid", "_gr_intra"
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """2-D Pareto skyline: rows not dominated by any other row, where
+    q dominates p iff q is ≤ on the minimized column, ≥ on the
+    maximized column, and strictly better on at least one. Exact
+    duplicates do not dominate each other (both survive).
+
+    The naive formulation is a NOT EXISTS self-join — quadratic, the
+    oracle's spec form. The scalable construction exploits the 2-D
+    structure: p survives iff no cheaper row reaches its ``maximize``
+    value, i.e. two running prefix-maxima over the ``minimize`` order
+    decide every row. Like ``global_rank``, the prefix is computed in
+    two phases so no single-partition window ever exists:
+    range-partition on ``minimize`` (equal keys land in ONE partition
+    — the range partitioner splits only between distinct values,
+    which is what keeps the strict/non-strict prefixes separable),
+    take per-partition prefix maxima over the distinct-value groups,
+    then stitch partitions with a ≤#partitions-row offset map.
+
+    Survive iff  max{maximize : minimize <  p} <  p.maximize   (no
+    strictly-cheaper dominator) AND max{maximize : minimize ≤ p} ==
+    p.maximize (no equal-cost dominator). Both prefixes depend only
+    on the total order of ``minimize``, so the result is layout-
+    independent."""
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(minimize))
+        if num_partitions
+        else df.repartitionByRange(F.col(minimize))
+    ).withColumn("_sk_pid", F.spark_partition_id())
+
+    groups = ranged.groupBy("_sk_pid", minimize).agg(
+        F.max(maximize).alias("_sk_gmax")
+    )
+    w = Window.partitionBy("_sk_pid").orderBy(minimize)
+    cum = groups.select(
+        "_sk_pid",
+        minimize,
+        F.max("_sk_gmax")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_sk_le"),
+        F.max("_sk_gmax")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("_sk_lt"),
+    )
+
+    # ≤ #partitions rows to the driver — bounded by parallelism.
+    pid_max = {
+        r["_sk_pid"]: r["m"]
+        for r in groups.groupBy("_sk_pid")
+        .agg(F.max("_sk_gmax").alias("m"))
+        .collect()
+    }
+    prev, acc = {}, None
+    for pid in sorted(pid_max):
+        prev[pid] = acc
+        acc = pid_max[pid] if acc is None else max(acc, pid_max[pid])
+    entries = [(k, v) for k, v in prev.items() if v is not None]
+    if entries:
+        prev_map = F.create_map(
+            *[F.lit(x) for kv in entries for x in kv]
+        )
+        prev_col = prev_map[F.col("_sk_pid")]
+        le = F.greatest(F.col("_sk_le"), prev_col)
+        lt = F.greatest(F.col("_sk_lt"), prev_col)
+    else:
+        le, lt = F.col("_sk_le"), F.col("_sk_lt")
+    bounds = cum.select(
+        "_sk_pid", minimize, le.alias("_sk_LE"), lt.alias("_sk_LT")
+    )
+
+    out = ranged.join(bounds, ["_sk_pid", minimize]).where(
+        (F.col("_sk_LT").isNull() | (F.col(maximize) > F.col("_sk_LT")))
+        & (F.col(maximize) == F.col("_sk_LE"))
+    )
+    return out.drop("_sk_pid", "_sk_LE", "_sk_LT")

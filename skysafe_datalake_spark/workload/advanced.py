@@ -775,3 +775,38 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     qid = emb.agg(F.min("vec_id")).first()[0]  # 1-row scalar pull
     return pq_topk(emb, qid, k=10)
+
+
+# ───────────────────── 2-D Pareto skyline ────────────────────────
+
+_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("skyline_pareto", _SKYLINE_SQL)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts — cheapest-for-their-size (minimize
+    retail price, maximize size; operators.ranking.skyline_2d). The
+    oracle states the spec as the quadratic NOT EXISTS dominance
+    self-join; the engine computes the same set from two distributed
+    prefix-maxima over the price order — range partition + per-
+    partition window + a ≤#partitions-row stitch, the global_rank
+    construction — so no single-partition window and no pairwise
+    join exist at any scale. Comparisons are on stored values only
+    (no arithmetic), so membership is boundary-exact."""
+    from skysafe_datalake_spark.operators.ranking import skyline_2d
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )

@@ -961,3 +961,73 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ─────────────── schema-evolution parquet read ───────────────────
+
+_SEVO_SQL = """
+WITH unioned AS (
+  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM unioned
+GROUP BY COALESCE(o_orderpriority, '<pre-evolution>')
+"""
+
+
+@register("schema_evolution_read", _SEVO_SQL)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the lake source: batch 1 is written BEFORE
+    a column existed (orderkey, totalprice only), batch 2 after the
+    schema gained o_orderpriority; ``mergeSchema`` reconciles the
+    footers at read time and null-fills the legacy files — no
+    rewrite of old data, the core append-only-lake contract. The
+    aggregation then treats the nulls as a first-class
+    '<pre-evolution>' bucket, with money in integer cents. The
+    oracle reconstructs the same union with a NULL literal.
+
+    Scale: schema merge is a FOOTER operation (one read per file's
+    metadata, not data) — but on a 100 TB table with millions of
+    files the footer sweep itself is a job; production catalogs pin
+    the merged schema in the metastore instead, which is why
+    mergeSchema defaults off in Spark. The read itself stays a
+    plain pruned columnar scan either way."""
+    import uuid
+
+    orders = load(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix=f"skysafe_sevo_{uuid.uuid4().hex[:6]}_")
+    try:
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.parquet(f"{tmp}/t", mode="append")
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.parquet(f"{tmp}/t", mode="append")
+        merged = spark.read.option("mergeSchema", "true").parquet(f"{tmp}/t")
+        out = (
+            merged.groupBy(
+                F.coalesce(
+                    F.col("o_orderpriority"), F.lit("<pre-evolution>")
+                ).alias("priority")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("total_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

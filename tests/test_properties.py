@@ -348,3 +348,43 @@ def test_global_rank_empty_and_single(spark):
     assert out.count() == 0 and out.columns == ["v", "uid", "rank"]
     one = spark.createDataFrame([(5, 1)], "v int, uid long")
     assert global_rank(one, [F.col("v"), F.col("uid")]).first().rank == 1
+
+
+# ───────────────────── skyline_2d ────────────────────────────────
+
+sky_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # price (small domain
+        st.integers(min_value=0, max_value=20),  # + size → many ties)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SLOW
+@given(sky_points, st.integers(min_value=1, max_value=7))
+def test_skyline_matches_bruteforce_any_layout(spark, pts, nparts):
+    """skyline_2d must equal the quadratic dominance spec on random
+    data WITH heavy duplicate coordinates, for any partition count —
+    the two-phase prefix construction may not depend on where range
+    boundaries land or how ties co-locate."""
+    from skysafe_datalake_spark.operators.ranking import skyline_2d
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size long")
+    got = {
+        r["id"]
+        for r in skyline_2d(
+            df, "price", "size", num_partitions=nparts
+        ).collect()
+    }
+    want = {
+        i
+        for i, (p, s) in enumerate(pts)
+        if not any(
+            (q_p <= p and q_s >= s and (q_p < p or q_s > s))
+            for q_p, q_s in pts
+        )
+    }
+    assert got == want
