@@ -106,6 +106,21 @@ HEADLINE = [
     "seasonal_anomaly_baseline",
     "cdc_apply_roundtrip",
     "ohlc_bars",
+    # round 3, second batch
+    "tpch_q2_like",
+    "tpch_q6_like",
+    "tpch_q7_like",
+    "tpch_q9_like",
+    "tpch_q10_like",
+    "tpch_q16_like",
+    "tpch_q19_like",
+    "bloom_semi_prune",
+    "bfs_khop_reach",
+    "ann_pq_topk",
+    "ml_linreg_by_group",
+    "skyline_pareto",
+    "schema_evolution_read",
+    "streaming_left_outer_join",
 ]
 
 

@@ -34,16 +34,31 @@ def asof_join(
     right_on: str,
     payload: Sequence[str],
     tie_breaker: str | None = None,
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach ``payload`` columns from the right
     row with the greatest ``right_on`` <= ``left_on`` within the same
-    ``by`` key (backward as-of, DuckDB ``ASOF JOIN`` / pandas
-    ``merge_asof`` semantics). Left rows with no prior right row keep
-    NULL payloads (left-outer).
+    ``by`` key (``direction="backward"``, DuckDB ``ASOF JOIN`` /
+    pandas ``merge_asof`` semantics), or the SMALLEST ``right_on`` >=
+    ``left_on`` (``direction="forward"`` — next-event attribution,
+    time-to-convert). Left rows with no matching right row keep NULL
+    payloads (left-outer).
 
-    When several right rows share the max timestamp, the one with the
-    greatest ``tie_breaker`` wins (pass one for determinism).
+    ``tolerance`` (an INTERVAL string, e.g. ``"2 hours"``) bounds the
+    match's staleness/lookahead: a match farther than the tolerance
+    is nulled out, exactly like ``merge_asof(tolerance=...)`` — the
+    guard a feature-attachment pipeline needs so a reading from last
+    week never silently fills today's row. The bound is applied as a
+    post-pass on the carried match timestamp, so the plan is
+    unchanged: still one union + one window pass, shuffle volume
+    |left| + |right|.
+
+    When several right rows share the matched timestamp, the one with
+    the greatest ``tie_breaker`` wins (pass one for determinism).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
     by = list(by)
     order_keys = [tie_breaker] if tie_breaker else []
     l_tag = left.select(
@@ -51,6 +66,7 @@ def asof_join(
         F.col(left_on).alias("_asof_ts"),
         F.lit(1).alias("_asof_src"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_on].dataType).alias("_asof_mts"),
         F.struct(*[c for c in left.columns if c not in by]).alias("_l"),
     )
     r_tag = right.select(
@@ -58,15 +74,24 @@ def asof_join(
         F.col(right_on).alias("_asof_ts"),
         F.lit(0).alias("_asof_src"),
         *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.col(right_on).alias("_asof_mts"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
     )
     # Right rows sort before left rows at equal timestamps
     # (_asof_src 0 < 1), so an exactly-simultaneous right row is
-    # visible to the left row — the <= in "right_on <= left_on".
+    # visible to the left row — the <= / >= is inclusive. For
+    # "forward" the scan order is simply reversed: the most recent
+    # right row seen walking BACKWARD through time is the nearest
+    # following one.
+    ts_order = (
+        F.col("_asof_ts").asc()
+        if direction == "backward"
+        else F.col("_asof_ts").desc()
+    )
     w = (
         Window.partitionBy(*by)
         .orderBy(
-            F.col("_asof_ts").asc(),
+            ts_order,
             F.col("_asof_src").asc(),
             *[F.col(f"_p_{k}").asc_nulls_first() for k in order_keys],
         )
@@ -78,7 +103,27 @@ def asof_join(
         "_asof_src",
         "_l",
         *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_p_{c}") for c in payload],
+        F.last("_asof_mts", ignorenulls=True).over(w).alias("_asof_mts"),
     )
+    if tolerance is not None:
+        in_tol = (
+            F.col("_asof_mts")
+            >= F.col("_asof_ts") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_asof_mts")
+            <= F.col("_asof_ts") + F.expr(f"INTERVAL {tolerance}")
+        )
+        filled = filled.select(
+            *by,
+            "_asof_ts",
+            "_asof_src",
+            "_l",
+            *[
+                F.when(in_tol, F.col(f"_p_{c}")).alias(f"_p_{c}")
+                for c in payload
+            ],
+            "_asof_mts",
+        )
     out_left = [c for c in left.columns if c not in by]
     return filled.filter(F.col("_asof_src") == 1).select(
         *by,

@@ -296,3 +296,77 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+# ───────────── forward as-of join with tolerance ─────────────────
+
+_ASOF_FWD_SQL = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                  event_type FROM events),
+v AS (SELECT event_id AS view_id, user_id, ts FROM e
+      WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM e
+      WHERE event_type = 'purchase'),
+matched AS (
+  SELECT v.view_id, v.user_id, v.ts,
+         (SELECT MIN(p.p_ts) FROM p
+          WHERE p.user_id = v.user_id AND p.p_ts >= v.ts) AS mts
+  FROM v
+)
+SELECT view_id, user_id,
+       CASE WHEN mts <= ts + INTERVAL 2 HOUR
+            THEN (SELECT MAX(p.purchase_id) FROM p
+                  WHERE p.user_id = matched.user_id AND p.p_ts = mts)
+            END AS purchase_id,
+       CASE WHEN mts <= ts + INTERVAL 2 HOUR
+            THEN CAST(date_diff('second', ts, mts) AS BIGINT)
+            END AS secs_to_convert
+FROM matched
+"""
+
+
+@register("asof_join_forward_tol", _ASOF_FWD_SQL)
+def asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a staleness bound: each view event
+    attaches the NEXT purchase by the same user, but only if it lands
+    within 2 hours — time-to-convert attribution, the mirror image of
+    asof_join_attrib's backward last-touch. Same single union +
+    window-pass plan (shuffle = |views| + |purchases| slim rows, no
+    range join); the tolerance is a null-out post-pass on the carried
+    match timestamp, not a plan change. Ties (several purchases at
+    the matched second) resolve to the greatest purchase_id in both
+    engines. The oracle states the spec as correlated MIN/MAX
+    subqueries, which Catalyst-style decorrelation would turn into
+    exactly the aggregation this operator hand-builds."""
+    from skysafe_datalake_spark.operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    out = asof_join(
+        views,
+        purchases,
+        by=["user_id"],
+        left_on="ts",
+        right_on="p_ts",
+        payload=["purchase_id", "p_ts"],
+        tie_breaker="purchase_id",
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return out.select(
+        "view_id",
+        "user_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("secs_to_convert"),
+    )
