@@ -810,3 +810,177 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(part, "p_retailprice", "p_size").select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+# ───────────────── bag semantics: INTERSECT/EXCEPT ALL ───────────
+
+_BAGOPS_SQL = """
+WITH a AS (SELECT l_quantity AS q FROM lineitem
+           WHERE l_returnflag = 'R'
+             AND l_shipdate < TIMESTAMP '1997-01-01'),
+b AS (SELECT l_quantity AS q FROM lineitem
+      WHERE l_linestatus = 'F'
+        AND l_shipdate < TIMESTAMP '1997-01-01')
+SELECT 'intersect_all' AS op, q, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT q FROM a INTERSECT ALL SELECT q FROM b) i
+GROUP BY q
+UNION ALL
+SELECT 'except_all' AS op, q, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT q FROM a EXCEPT ALL SELECT q FROM b) e
+GROUP BY q
+"""
+
+
+@register("bag_set_operations", _BAGOPS_SQL)
+def bag_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL keeps
+    min(multiplicity), EXCEPT ALL subtracts multiplicities — the
+    semantics set_operations' distinct variants cannot express (a
+    quantity appearing 5× in A and 3× in B survives INTERSECT ALL 3
+    times and EXCEPT ALL twice). Spark plans both as a single
+    hash aggregation counting per-side multiplicities then
+    re-expanding (generate replicate_rows) — one shuffle on the
+    value, no join; the DataFrame API (intersectAll/exceptAll) and
+    the oracle's SQL forms are the same operator. Output folds the
+    expanded bags back to (value, count) so the comparison is
+    order-free."""
+    li = load(spark, sf_dir, "lineitem")
+    early = li.where(F.col("l_shipdate") < "1997-01-01")
+    a = early.where(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").alias("q")
+    )
+    b = early.where(F.col("l_linestatus") == "F").select(
+        F.col("l_quantity").alias("q")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("q")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.lit("intersect_all").alias("op"), "q", "cnt")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("q")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(F.lit("except_all").alias("op"), "q", "cnt")
+    )
+    return inter.unionByName(exc)
+
+
+# ───────────────────── null-semantics battery ────────────────────
+
+_NULLSEM_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_totalprice END AS v,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE o_orderpriority END AS p
+  FROM orders
+),
+per_group AS (
+  SELECT p,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(v) AS BIGINT) AS n_v,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS n_v_distinct,
+         CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_v_null,
+         floor(COALESCE(MIN(v), -1.0) * 100.0 + 0.5) / 100.0 AS min_v,
+         CAST(SUM(CASE WHEN NULLIF(p, '1-URGENT') IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif_hits,
+         CAST(SUM(CASE WHEN (v + 1.0) IS NULL AND v IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_arith_violations
+  FROM base
+  GROUP BY p
+),
+nullsafe AS (
+  SELECT a.p,
+         CAST(COUNT(*) AS BIGINT) AS n_nullsafe_eq
+  FROM base a JOIN base b ON b.k = a.k + 1
+  WHERE a.v IS NOT DISTINCT FROM b.v
+  GROUP BY a.p
+)
+SELECT g.p, g.n_rows, g.n_v, g.n_v_distinct, g.n_v_null, g.min_v,
+       g.n_nullif_hits, g.n_arith_violations,
+       COALESCE(ns.n_nullsafe_eq, 0) AS n_nullsafe_eq
+FROM per_group g
+LEFT JOIN nullsafe ns ON ns.p IS NOT DISTINCT FROM g.p
+"""
+
+
+@register("null_semantics", _NULLSEM_SQL)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery over an injected-null dataset: GROUP BY
+    with a first-class NULL group, COUNT(*) vs COUNT(col) vs
+    COUNT(DISTINCT col), COALESCE/NULLIF, three-valued arithmetic
+    propagation (a non-null v never yields null v+1 — pinned as a
+    zero violations column), a null-safe self-equi-join
+    (IS NOT DISTINCT FROM: NULL matches NULL, which a plain = join
+    silently drops), and a null-safe LEFT JOIN back onto the nullable
+    group key itself. These are exactly the semantics corners where
+    engines diverge (and where a wrong null treatment silently loses
+    rows at scale); the whole battery is one shuffle per aggregation
+    plus an equi-join on k+1 — Spark plans eqNullSafe as a hash join
+    key, not a cartesian filter."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p"),
+    )
+    per_group = base.groupBy("p").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("v").cast("bigint").alias("n_v"),
+        F.countDistinct("v").cast("bigint").alias("n_v_distinct"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_v_null"),
+        pround(F.coalesce(F.min("v"), F.lit(-1.0)), 2).alias("min_v"),
+        F.sum(
+            F.when(F.nullif(F.col("p"), F.lit("1-URGENT")).isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_nullif_hits"),
+        F.sum(
+            F.when(
+                (F.col("v") + 1.0).isNull() & F.col("v").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_arith_violations"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    nullsafe = (
+        a.join(
+            b,
+            (F.col("b.k") == F.col("a.k") + 1)
+            & F.col("a.v").eqNullSafe(F.col("b.v")),
+        )
+        .groupBy(F.col("a.p").alias("p"))
+        .agg(F.count("*").cast("bigint").alias("n_nullsafe_eq"))
+    )
+    return (
+        per_group.alias("g")
+        .join(
+            nullsafe.alias("ns"),
+            F.col("ns.p").eqNullSafe(F.col("g.p")),
+            "left",
+        )
+        .select(
+            F.col("g.p").alias("p"),
+            "n_rows",
+            "n_v",
+            "n_v_distinct",
+            "n_v_null",
+            "min_v",
+            "n_nullif_hits",
+            "n_arith_violations",
+            F.coalesce(F.col("ns.n_nullsafe_eq"), F.lit(0).cast("bigint"))
+            .alias("n_nullsafe_eq"),
+        )
+    )
