@@ -984,3 +984,54 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_nullsafe_eq"),
         )
     )
+
+
+# ───────────────────── recursive CTE (linked-list walk) ──────────
+
+def _recursive_walk_sql(intdiv: str) -> str:
+    """Same SQL text for both engines up to the integer-division
+    operator (Spark ``DIV``, DuckDB ``//`` — the one non-portable
+    token; a ``/`` would silently produce DOUBLE in DuckDB)."""
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT o_custkey AS cust, o_orderkey AS okey,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS BIGINT) AS rn
+  FROM orders
+),
+walk AS (
+  SELECT cust, rn, cents AS bal FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.cust, s.rn, w.bal - (w.bal {intdiv} 100) + s.cents
+  FROM walk w
+  JOIN seq s ON s.cust = w.cust AND s.rn = w.rn + 1
+)
+SELECT w.cust, w.rn AS n_orders, w.bal AS final_bal
+FROM walk w
+JOIN (SELECT cust, MAX(rn) AS mrn FROM walk GROUP BY cust) m
+  ON m.cust = w.cust AND m.mrn = w.rn
+"""
+
+
+@register("recursive_cte_walk", _recursive_walk_sql("//"))
+def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL front-end (Spark 4 recursive
+    CTEs): walk each customer's date-ordered order chain accumulating
+    a balance with 1% integer decay per step — bal' = bal − bal÷100 +
+    deposit. The floor-division makes each step NONLINEAR in the
+    running state, so no window/aggregate rewrite exists: a recursive
+    join per step is the only relational formulation, which is
+    precisely what this query pins (the engine's recursion, not just
+    UNION ALL sugar). All arithmetic is integer cents — exact at any
+    partitioning, and the recursion depth is the max per-key chain
+    length (~|orders|/|customers|), not |orders|.
+
+    Scale: each recursion step is one equi-join of the frontier
+    (|customers| rows) against the slim seq table on (cust, rn) —
+    the same bounded-frontier shape as bfs_khop_reach, planned by
+    the engine's UnionLoop instead of a hand-written driver loop."""
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_recursive_walk_sql("DIV"))
