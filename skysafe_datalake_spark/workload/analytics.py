@@ -1523,3 +1523,89 @@ def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").cast("bigint"), F.col("dist").cast("bigint")
     )
+
+
+# ───────────────── chi-square independence test ──────────────────
+
+_CHI2_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+obs AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM e GROUP BY event_type, dayofweek(ts)
+),
+rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_tot
+       FROM obs GROUP BY event_type),
+ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS col_tot
+       FROM obs GROUP BY dow),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS total FROM obs),
+cells AS (
+  SELECT obs.event_type, obs.dow, obs.o,
+         CAST(rt.row_tot * ct.col_tot AS DOUBLE) / n.total AS expected
+  FROM obs
+  JOIN rt ON rt.event_type = obs.event_type
+  JOIN ct ON ct.dow = obs.dow
+  CROSS JOIN n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+       floor(CAST(SUM(CAST((o - expected) * (o - expected) / expected
+                           AS DECIMAL(18,8))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS chi2
+FROM cells
+"""
+
+
+@register("chi2_independence", _CHI2_SQL)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week — the categorical-association screen of a feature-
+    quality pipeline (MLlib's ChiSquareTest computes the same
+    statistic; this closed form is exactly DuckDB-checkable and needs
+    no vector assembly). Observed counts are one hash agg; expected
+    counts come from broadcast row/column marginals; the statistic is
+    a decimal sum of per-cell (O−E)²/E so the result is partition-
+    order-exact, surfaced under the rounding convention with the
+    degrees of freedom alongside. (Engines disagree on dayofweek
+    NUMBERING — Spark 1-7 vs DuckDB 0-6 — but the statistic only
+    needs the partition, not the labels, so the output deliberately
+    exposes no dow column.) Scale: the contingency table is
+    |types|×7 cells regardless of row count — everything after the
+    first aggregation is constant-size."""
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("row_tot")
+    )
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("col_tot"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            (
+                (F.col("row_tot") * F.col("col_tot")).cast("double")
+                / F.col("total")
+            ).alias("expected"),
+        )
+    )
+    n_rows = rt.count()  # k-row dims; counts are scalar actions
+    n_cols = ct.count()
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+        pround(
+            dsum(
+                (F.col("o") - F.col("expected"))
+                * (F.col("o") - F.col("expected"))
+                / F.col("expected"),
+                8,
+            ),
+            6,
+        ).alias("chi2"),
+    ).select("n_cells", "dof", "chi2")
