@@ -429,3 +429,66 @@ def test_global_rank_avoids_single_partition_window(spark):
     # and nothing in the physical plan collapses to SinglePartition.
     assert "_gr_pid" in plan
     assert "SinglePartition" not in plan
+
+
+def test_bloom_semi_prune_probe_is_codegen_filter(spark):
+    """The Bloom pre-screen must be a pure Filter over the customer
+    scan (bitmap embedded as a literal array — no join, no shuffle to
+    evaluate it), followed by ONE broadcast semi join for exactness.
+    A regression that turns the bitmap into a joined table would put
+    a shuffle in front of every probe row."""
+    plan = plan_of(spark, "bloom_semi_prune")
+    assert "LeftSemi" in plan
+    # exactly one join in the whole plan: the exactness semi join
+    assert len(re.findall(r"Join", plan)) <= 4  # operator + refs
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_no_quadratic_join_no_global_window(spark):
+    """skyline_2d must not fall back to the oracle's quadratic
+    dominance self-join, and its windows must be partitioned (the
+    range-partition two-phase construction)."""
+    plan = plan_of(spark, "skyline_pareto")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every window spec carries the pid partition key
+    specs = re.findall(r"windowspecdefinition\([^)]*", plan)
+    assert specs, "expected window specs in the plan"
+    for spec in specs:
+        assert "_sk_pid" in spec, spec
+
+
+def test_ann_pq_scoring_is_broadcast_join(spark):
+    """PQ scoring joins corpus codes against the per-query lookup
+    table — which is ≤ n_subspaces·256 rows and must broadcast; the
+    corpus side must never sort-merge for it."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_full_pushdown_no_shuffle_before_agg(spark):
+    """Q6 is the scan-throughput query: every predicate must reach
+    the parquet reader and the only exchange is the single-row final
+    aggregate's."""
+    plan = plan_of(spark, "tpch_q6_like")
+    assert "PushedFilters" in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+    assert "Join" not in plan
+
+
+def test_tpch_q19_broadcasts_part(spark):
+    """Q19's disjunctive residual must not break the equi-join: part
+    broadcasts, lineitem never shuffles."""
+    plan = plan_of(spark, "tpch_q19_like")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_recursive_cte_uses_engine_recursion(spark):
+    """The recursive walk must plan through the engine's recursion
+    operator (UnionLoop in Spark 4), not be silently unrolled or
+    fail over to something else."""
+    plan = plan_of(spark, "recursive_cte_walk")
+    assert "UnionLoop" in plan or "Recursion" in plan
