@@ -1609,3 +1609,100 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("chi2"),
     ).select("n_cells", "dof", "chi2")
+
+
+# ───────────────── rolling-window OLS (trend drift) ──────────────
+
+_ROLL_OLS_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+pts AS (
+  SELECT event_type,
+         CAST(datediff('hour', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS x,
+         value AS y,
+         event_id
+  FROM e
+),
+framed AS (
+  SELECT event_type, x, event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxy
+  FROM pts
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               RANGE BETWEEN 168 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, x, event_id, n,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN floor((n * sxy - sx * sy)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)
+                       * 1000000.0 + 0.5) / 1000000.0
+            END AS slope_trailing_7d
+FROM framed
+"""
+
+
+@register("rolling_ols_slope", _ROLL_OLS_SQL)
+def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS: at EVERY event, the regression slope of value vs
+    time over the trailing 7 days (168-hour RANGE frame) for its
+    event type — trend-drift detection as a continuous signal rather
+    than ml_linreg_by_group's one line per key. The five sufficient
+    statistics are window-frame sums over an integer-hour event-time
+    axis (RANGE, not ROWS: the frame is defined by TIME, so
+    same-hour ties contribute identically in both engines and the
+    frame is layout-independent); Σy/Σxy ride the decimal convention
+    inside the frame, the closed form then runs per row. Degenerate
+    frames (all points in one hour ⇒ zero variance) surface as NULL
+    slope via the guard, not a division blowup.
+
+    Scale: one shuffle on event_type, one sort per partition, every
+    frame sum computed incrementally by the window operator — no
+    self-join against the trailing window, which is the naive
+    formulation's quadratic trap."""
+    e = load(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01', ts) AS BIGINT)"
+        ).alias("x"),
+        F.col("value").alias("y"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rangeBetween(-168, Window.currentRow)
+    )
+    framed = pts.select(
+        "event_type",
+        "x",
+        "event_id",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return framed.select(
+        "event_type",
+        "x",
+        "event_id",
+        "n",
+        F.when(
+            den > 0,
+            pround(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / den.cast("double"),
+                6,
+            ),
+        ).alias("slope_trailing_7d"),
+    )
