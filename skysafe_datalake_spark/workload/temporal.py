@@ -370,3 +370,97 @@ def asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("secs_to_convert"),
     )
+
+
+# ───────────── multi-touch (linear) attribution ──────────────────
+
+_MTA_SQL = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                  event_type, value FROM events),
+c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM e
+      WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM e WHERE event_type = 'purchase'),
+touches AS (
+  SELECT p.purchase_id, p.cents, c.click_id, c.c_ts,
+         CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+           AS n_touch,
+         CAST(row_number() OVER (
+           PARTITION BY p.purchase_id ORDER BY c.c_ts, c.click_id
+         ) AS BIGINT) AS touch_rank
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.c_ts <= p.p_ts
+   AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR
+),
+credits AS (
+  SELECT click_id,
+         cents // n_touch
+           + CASE WHEN touch_rank <= cents % n_touch THEN 1 ELSE 0 END
+           AS credit_cents
+  FROM touches
+)
+SELECT click_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(credit_cents) AS BIGINT) AS credit_cents
+FROM credits
+GROUP BY click_id
+"""
+
+
+@register("multitouch_attribution", _MTA_SQL)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its
+    value equally across the user's clicks in the prior 24 h. The
+    split is EXACT integer bookkeeping — each touch gets
+    cents div n, and the earliest (cents mod n) touches get the
+    leftover cent — so total credited cents equals total purchase
+    cents to the cent (a float 1/n split leaks pennies that audits
+    then chase; the conservation invariant is pinned by a test).
+    Plan: one bounded interval join keyed on user (same shape as
+    streaming_interval_join — at stream time the same query runs
+    with watermark state), two windows partitioned by purchase
+    (bounded fan-in), one final hash agg by click."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    wp = Window.partitionBy("purchase_id")
+    touches = touches.select(
+        "purchase_id",
+        "cents",
+        "click_id",
+        F.count("*").over(wp).cast("bigint").alias("n_touch"),
+        F.row_number()
+        .over(wp.orderBy("c_ts", "click_id"))
+        .cast("bigint")
+        .alias("touch_rank"),
+    )
+    credits = touches.select(
+        "click_id",
+        (
+            F.expr("cents DIV n_touch")
+            + F.when(
+                F.col("touch_rank") <= F.col("cents") % F.col("n_touch"), 1
+            ).otherwise(0)
+        ).alias("credit_cents"),
+    )
+    return credits.groupBy("click_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("credit_cents").cast("bigint").alias("credit_cents"),
+    )

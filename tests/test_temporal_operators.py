@@ -70,3 +70,42 @@ def test_sessionize_splits_on_gap(spark):
         for r in sessionize(df, by=["u"], gap_seconds=1800, tie_breakers=["eid"]).collect()
     }
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_multitouch_attribution_conserves_cents(spark):
+    """Total credited cents must equal total purchase cents over
+    purchases that have at least one touch — the integer split may
+    not create or leak a single cent."""
+    from tests.conftest import SF_SMALL
+
+    from skysafe_datalake_spark.workload import QUERIES
+    from skysafe_datalake_spark.workload.tables import load
+    from pyspark.sql import functions as F
+
+    credited = (
+        QUERIES["multitouch_attribution"](spark, SF_SMALL)
+        .agg(F.sum("credit_cents"))
+        .first()[0]
+    )
+    e = load(spark, SF_SMALL, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    touched = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+            "left_semi",
+        )
+        .agg(F.sum("cents"))
+        .first()[0]
+    )
+    assert credited == touched
