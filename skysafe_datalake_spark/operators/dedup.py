@@ -336,3 +336,74 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_incremental_pairs(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    id_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    min_matching: int = 4,
+) -> DataFrame:
+    """Incremental LSH maintenance: near-dup candidates between an
+    incoming BATCH and the existing CORPUS only — never corpus ×
+    corpus (those pairs were found when their rows arrived). This is
+    the text twin of the embedding side's batch-broadcast GEMM
+    (similarity.cross_corpus_neardup): per micro-batch work is
+    O(batch × collisions), independent of corpus size, which is what
+    makes continuous-ingest dedup feasible — re-running the full
+    self-join LSH per batch would re-pay the whole corpus every
+    minute.
+
+    Scale shape: the corpus's banded table IS the persistent index —
+    written bucketed by band_key, the probe equi-join is
+    exchange-free on the corpus side; the batch side broadcasts.
+    Output: (batch_id, corpus_id, n_matching ≥ min_matching).
+    """
+    n_bands = n_hashes // band_size
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"mh{b * band_size + j}")
+                        for j in range(band_size)
+                    ],
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias(out_id), F.explode(bands).alias("band_key")
+        )
+    pairs = (
+        banded(corpus_sigs, "corpus_id")
+        .join(F.broadcast(banded(batch_sigs, "batch_id")), ["band_key"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    b_sigs = batch_sigs.select(
+        F.col(id_col).alias("batch_id"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(n_hashes)],
+    )
+    c_sigs = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"c_mh{i}") for i in range(n_hashes)],
+    )
+    matching = sum(
+        F.when(F.col(f"b_mh{i}") == F.col(f"c_mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        pairs.join(F.broadcast(b_sigs), ["batch_id"])
+        .join(c_sigs, ["corpus_id"])
+        .select(
+            "batch_id", "corpus_id", matching.cast("int").alias("n_matching")
+        )
+        .filter(F.col("n_matching") >= min_matching)
+    )

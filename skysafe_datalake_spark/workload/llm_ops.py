@@ -1846,3 +1846,44 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rn", F.row_number().over(w).cast("bigint")).select(
         "doc_id", "lang", "w", "key_e9", "rn"
     )
+
+
+@register(
+    "minhash_incremental_pairs",
+    f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE},
+banded AS (
+  SELECT sig.*, band_key
+  FROM sig, unnest([{_BANDS_SQL}]) AS u(band_key)
+),
+bb AS (SELECT * FROM banded WHERE doc_id % 20 = 0),
+cb AS (SELECT * FROM banded WHERE doc_id % 20 <> 0)
+SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+       CAST({_MATCH_SQL} AS INTEGER) AS n_matching
+FROM bb a JOIN cb b USING (band_key)
+WHERE {_MATCH_SQL} >= 4
+""",
+)
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest text dedup: LSH candidates between a 5%
+    incoming batch (doc_id % 20 == 0) and the standing corpus —
+    batch × corpus band probes ONLY, never corpus × corpus
+    (operators.dedup.minhash_incremental_pairs). The corpus's banded
+    signature table is the persistent index (bucketable by band_key
+    → exchange-free probes); the batch side broadcasts. Per-batch
+    cost is O(batch × collisions) regardless of corpus size — the
+    text twin of embedding_crossdup's batch-broadcast GEMM."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(
+        docs, "doc_id", "text", n_hashes=_N_HASHES, shingle_k=5
+    ).localCheckpoint(eager=False)
+    batch = sigs.where(F.col("doc_id") % 20 == 0)
+    corpus = sigs.where(F.col("doc_id") % 20 != 0)
+    return D.minhash_incremental_pairs(
+        corpus,
+        batch,
+        "doc_id",
+        n_hashes=_N_HASHES,
+        band_size=2,
+        min_matching=4,
+    )
