@@ -121,6 +121,14 @@ HEADLINE = [
     "skyline_pareto",
     "schema_evolution_read",
     "streaming_left_outer_join",
+    "asof_join_forward_tol",
+    "recursive_cte_walk",
+    "chi2_independence",
+    "rolling_ols_slope",
+    "multitouch_attribution",
+    "minhash_incremental_pairs",
+    "bag_set_operations",
+    "null_semantics",
 ]
 
 

@@ -1031,3 +1031,65 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ─────────────── multi-format federated union ────────────────────
+
+_MFU_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("multi_format_union", _MFU_SQL)
+def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated multi-format read: one logical table physically split
+    across parquet, JSON-lines and CSV thirds (the real shape of a
+    lake mid-migration, or raw + curated zones queried together),
+    unioned behind one schema and aggregated — the result must equal
+    querying the single-format original (the oracle). Text formats
+    don't carry types: the JSON leg round-trips timestamps as ISO
+    strings and the CSV leg gets the explicit schema + timestamp
+    format option, the two real-world footguns this query pins.
+    Money goes through integer cents so the parquet→text→parquet trip
+    is value-exact. Scale: each leg is an independent scan (text legs
+    splittable by line), the union is free (no exchange), and only
+    the final hash agg shuffles."""
+    import uuid
+
+    orders = load(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix=f"skysafe_mfu_{uuid.uuid4().hex[:6]}_")
+    try:
+        orders.where(F.col("o_orderkey") % 3 == 0).write.parquet(f"{tmp}/pq")
+        orders.where(F.col("o_orderkey") % 3 == 1).write.json(f"{tmp}/js")
+        orders.where(F.col("o_orderkey") % 3 == 2).write.option(
+            "header", True
+        ).option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(f"{tmp}/cs")
+        pq = spark.read.parquet(f"{tmp}/pq")
+        js = spark.read.json(f"{tmp}/js").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double"),
+            F.to_timestamp("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        cs = spark.read.schema(pq.schema).option("header", True).option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+        ).csv(f"{tmp}/cs")
+        unioned = pq.unionByName(js).unionByName(cs)
+        out = unioned.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
