@@ -1035,3 +1035,65 @@ def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders")
     return spark.sql(_recursive_walk_sql("DIV"))
+
+
+# ───────────────────── LATERAL correlated subquery ───────────────
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_mktsegment,
+       t.o_orderkey, t.total_cents, t.order_rank
+FROM customer c,
+LATERAL (
+  SELECT o.o_orderkey,
+         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+         CAST(row_number() OVER (
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+         ) AS BIGINT) AS order_rank
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 3
+) t
+WHERE c.c_acctbal > 0.0
+"""
+
+
+@register("lateral_topn_per_key", _LATERAL_SQL)
+def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery — top-3 orders per customer
+    written as a per-row derived table instead of the window+filter
+    idiom. The point is the FRONT-END shape: LATERAL is how SQL users
+    express per-row subqueries, and the engine must decorrelate it to
+    the same window top-k plan rather than re-running the inner query
+    per customer (Spark plans a LateralJoin whose inner is evaluated
+    once as a ranked join — no iteration). Money in integer cents;
+    rank ties broken by orderkey so the LIMIT cut is deterministic.
+    The oracle runs the identical LATERAL text."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ───────────────────── custom GROUPING SETS ──────────────────────
+
+_GSETS_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("grouping_sets_custom", _GSETS_SQL)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked GROUPING SETS — (flag, status), (flag), () but NOT
+    (status): the asymmetric aggregation lattice neither ROLLUP nor
+    CUBE can express (rollup_hierarchy and grouping_cube pin those).
+    One Expand + one hash agg regardless of how many sets; GROUPING()
+    disambiguates a real NULL key from a superaggregate row. Integer
+    quantity sums, explicit BIGINT casts for the gate canonicalizer."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GSETS_SQL)

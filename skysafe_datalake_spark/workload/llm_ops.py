@@ -1887,3 +1887,90 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=2,
         min_matching=4,
     )
+
+
+_RP_OUT_DIM = 16
+_RP_IN_DIM = 64
+
+
+@register(
+    "random_projection_reduce",
+    f"""
+WITH dims AS (
+  SELECT vec_id, g.d AS d, CAST(embedding[g.d + 1] AS DOUBLE) AS val
+  FROM embeddings,
+       (SELECT unnest(generate_series(0, {_RP_IN_DIM - 1})) AS d) g
+),
+proj AS (
+  SELECT d.vec_id, o.j,
+         CAST(SUM(CAST(d.val * (CASE WHEN
+             CAST(('0x' || substr(md5('rp|' || d.d || '|' || o.j), 1, 8))
+               AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+           AS DECIMAL(18,8))) AS DOUBLE) AS comp
+  FROM dims d,
+       (SELECT unnest(generate_series(0, {_RP_OUT_DIM - 1})) AS j) o
+  GROUP BY d.vec_id, o.j
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS out_dim,
+       CAST(SUM(CAST(floor(comp * comp * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS norm_sq_e6
+FROM proj
+GROUP BY vec_id
+""",
+)
+def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction 64→16 with a
+    deterministic ±1 sign-hash projection matrix (Achlioptas sparse
+    JL: entries ±1 drawn from md5('rp|d|j') — no stored matrix, any
+    executor derives any entry, which is what makes the projection a
+    zero-coordination map at 100 TB). Each output component is an
+    exact decimal sum over the 64 input dims, and the gate-visible
+    summary (per-vector output norm², integer micro-units) pins every
+    component through the sum of squares. Scale: pure per-row
+    computation — the only shuffles are the oracle-shaped groupBys;
+    the production form is a single higher-order array expression
+    per output dim (no explode), one map stage, no exchange."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "valf")
+    ).select(
+        "vec_id",
+        F.col("d").cast("bigint").alias("d"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    out = spark.range(_RP_OUT_DIM).select(F.col("id").alias("j"))
+    proj = (
+        dims.crossJoin(F.broadcast(out))
+        .select(
+            "vec_id",
+            "j",
+            (
+                F.col("val")
+                * F.when(
+                    F.expr(
+                        "CAST(conv(substr(md5(concat('rp|', CAST(d AS STRING),"
+                        " '|', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                        " % 2 = 0"
+                    ),
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+            ).alias("term"),
+        )
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.col("term").cast("decimal(18,8)"))
+            .cast("double")
+            .alias("comp")
+        )
+    )
+    return proj.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("out_dim"),
+        F.sum(
+            F.floor(F.col("comp") * F.col("comp") * 1000000.0 + 0.5).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("norm_sq_e6"),
+    )
