@@ -1706,3 +1706,104 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("slope_trailing_7d"),
     )
+
+
+# ───────────── linear-interpolation gap filling ──────────────────
+
+_INTERP_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+masked AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM e
+),
+bounds AS (
+  SELECT event_id, user_id, us, v,
+         last_value(v IGNORE NULLS) OVER wa AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+           OVER wa AS pus,
+         first_value(v IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS)
+           OVER wf AS nus
+  FROM masked
+  WINDOW wa AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, v AS raw_value,
+       floor(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nus > pus
+           THEN pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / (nus - pus))
+         WHEN pv IS NOT NULL THEN pv
+         ELSE nv
+       END * 1000000.0 + 0.5) / 1000000.0 AS interp_value
+FROM bounds
+"""
+
+
+@register("gap_fill_interpolate", _INTERP_SQL)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap filling — the upgrade of
+    gap_fill_forward's LOCF: a masked reading is reconstructed from
+    its nearest valid neighbors on BOTH sides, weighted by event-time
+    distance (integer microseconds → one exact double division), with
+    LOCF / backfill degradation at series edges. Two mirrored window
+    frames per key (running + following) computed in the same sorted
+    pass over one shuffle — no self-join against neighbors, which is
+    the naive formulation's trap. Same-timestamp duplicates are
+    ordered by event_id so neighbor choice is deterministic; output
+    rides the rounding convention."""
+    e = load(spark, sf_dir, "events")
+    masked = e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nn_us = F.when(F.col("v").isNotNull(), F.col("us"))
+    bounds = masked.select(
+        "event_id",
+        "user_id",
+        "us",
+        "v",
+        F.last("v", ignorenulls=True).over(wa).alias("pv"),
+        F.last(nn_us, ignorenulls=True).over(wa).alias("pus"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(nn_us, ignorenulls=True).over(wf).alias("nus"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nus") > F.col("pus")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("us") - F.col("pus")).cast("double")
+                / (F.col("nus") - F.col("pus"))
+            ),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return bounds.select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("raw_value"),
+        pround(interp, 6).alias("interp_value"),
+    )
