@@ -1007,6 +1007,7 @@ walk AS (
   SELECT s.cust, s.rn, w.bal - (w.bal {intdiv} 100) + s.cents
   FROM walk w
   JOIN seq s ON s.cust = w.cust AND s.rn = w.rn + 1
+  WHERE w.rn < 12
 )
 SELECT w.cust, w.rn AS n_orders, w.bal AS final_bal
 FROM walk w
@@ -1025,16 +1026,58 @@ def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join per step is the only relational formulation, which is
     precisely what this query pins (the engine's recursion, not just
     UNION ALL sugar). All arithmetic is integer cents — exact at any
-    partitioning, and the recursion depth is the max per-key chain
-    length (~|orders|/|customers|), not |orders|.
+    partitioning. The walk is DEPTH-CAPPED at 12 steps per key:
+    recursion latency is iterations × per-step job overhead (the
+    frontier join is cheap; the synchronization isn't), so an
+    unbounded walk's wall time scales with the LONGEST chain — the
+    cap bounds replay latency to a constant number of rounds while
+    still exercising 12 genuine recursion steps, and both engines
+    apply the identical guard.
 
     Scale: each recursion step is one equi-join of the frontier
     (|customers| rows) against the slim seq table on (cust, rn) —
     the same bounded-frontier shape as bfs_khop_reach, planned by
     the engine's UnionLoop instead of a hand-written driver loop."""
     orders = load(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders")
-    return spark.sql(_recursive_walk_sql("DIV"))
+    # Materialize the seq CTE ONCE: Spark re-evaluates a CTE
+    # referenced inside the recursive member on EVERY iteration
+    # (orders scan + window, x depth) — checkpointing it turns each
+    # step into a join against in-memory blocks. The frontier side
+    # is |customers| rows, so it broadcasts (hint below): no shuffle
+    # of seq per round either.
+    seq = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .cast("bigint")
+        .alias("rn"),
+    ).localCheckpoint(eager=False)
+    seq.createOrReplaceTempView("rcte_seq")
+    return spark.sql(
+        """
+WITH RECURSIVE walk AS (
+  SELECT cust, rn, cents AS bal FROM rcte_seq WHERE rn = 1
+  UNION ALL
+  SELECT /*+ BROADCAST(w) */
+         s.cust, s.rn, w.bal - (w.bal DIV 100) + s.cents
+  FROM walk w
+  JOIN rcte_seq s ON s.cust = w.cust AND s.rn = w.rn + 1
+  WHERE w.rn < 12
+)
+SELECT w.cust, w.rn AS n_orders, w.bal AS final_bal
+FROM walk w
+JOIN (SELECT cust, MAX(rn) AS mrn FROM walk GROUP BY cust) m
+  ON m.cust = w.cust AND m.mrn = w.rn
+"""
+    )
 
 
 # ───────────────────── LATERAL correlated subquery ───────────────

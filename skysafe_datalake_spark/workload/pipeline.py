@@ -881,7 +881,13 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     by user_id, eviction horizon from the interval bound); the
     flush adds one near-empty micro-batch. In production the stream
     never terminates and ordinary event flow advances the watermark
-    — the sentinel is purely a bounded-replay device."""
+    — the sentinel is purely a bounded-replay device.
+
+    Bench note: wall time is ~6 micro-batch cycles of state-commit
+    machinery (two replays, each with a data batch + watermark
+    no-data batch), NOT data volume — a measured single-pass
+    variant (sentinel pre-written, maxFilesPerTrigger batch split)
+    saved nothing, so the clearer two-pass protocol stays."""
     import uuid
 
     from skysafe_datalake_spark.streaming.driver import interval_join_streams
@@ -891,7 +897,10 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_sloj_")
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4, not 8: this query runs TWO passes, and every state-store
+    # instance pays setup/commit twice — halving the store count
+    # saves more than the lost parallelism costs at replay volume.
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         clicks_b = e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
@@ -903,8 +912,11 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        clicks_b.write.parquet(f"{tmp}/clicks")
-        purchases_b.write.parquet(f"{tmp}/purchases")
+        # Few input files: availableNow replays all files in one
+        # batch either way, but 32 task-sized splits per side just
+        # pay scheduling overhead on a bench-scale replay.
+        clicks_b.coalesce(4).write.parquet(f"{tmp}/clicks")
+        purchases_b.coalesce(4).write.parquet(f"{tmp}/purchases")
         flush_ts = e.agg(
             F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
         ).first()[0]  # 1-row scalar: sentinel past every real window
