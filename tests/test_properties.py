@@ -388,3 +388,90 @@ def test_skyline_matches_bruteforce_any_layout(spark, pts, nparts):
         )
     }
     assert got == want
+
+
+# ───────────────────── asof_join vs pandas ───────────────────────
+
+asof_case = st.tuples(
+    st.lists(  # left timestamps (seconds), per one key
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=25, unique=True,
+    ),
+    st.lists(  # right timestamps
+        st.integers(min_value=0, max_value=10_000),
+        min_size=0, max_size=25, unique=True,
+    ),
+)
+
+
+@SLOW
+@given(asof_case, st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_pandas_merge_asof(spark, case, direction):
+    """asof_join must agree with pandas.merge_asof — the de-facto
+    spec — in both directions WITH a tolerance bound, on arbitrary
+    timestamp sets (unique per side, so tie-break conventions can't
+    differ)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from skysafe_datalake_spark.operators.temporal import asof_join
+
+    lts, rts = case
+    tol_s = 500
+    epoch = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, epoch + timedelta(seconds=t)) for t in sorted(lts)],
+        "k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, epoch + timedelta(seconds=t), float(t)) for t in sorted(rts)],
+        "k long, rt timestamp, payload double",
+    ) if rts else spark.createDataFrame(
+        [], "k long, rt timestamp, payload double"
+    )
+    got = {
+        (r["lt"], r["payload"])
+        for r in asof_join(
+            left,
+            right,
+            by=["k"],
+            left_on="lt",
+            right_on="rt",
+            payload=["payload"],
+            direction=direction,
+            tolerance=f"{tol_s} seconds",
+        ).collect()
+    }
+    lpd = pd.DataFrame(
+        {
+            "k": 1,
+            "lt": [pd.Timestamp(epoch + timedelta(seconds=t)) for t in sorted(lts)],
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": pd.Series([1] * len(rts), dtype="int64"),
+            "rt": pd.Series(
+                [pd.Timestamp(epoch + timedelta(seconds=t)) for t in sorted(rts)],
+                dtype="datetime64[ns]",
+            ),
+            "payload": pd.Series(
+                [float(t) for t in sorted(rts)], dtype="float64"
+            ),
+        }
+    )
+    want_df = pd.merge_asof(
+        lpd,
+        rpd,
+        left_on="lt",
+        right_on="rt",
+        by="k",
+        direction=direction,
+        tolerance=pd.Timedelta(seconds=tol_s),
+    )
+    want = {
+        (row.lt.to_pydatetime(), None if pd.isna(row.payload) else row.payload)
+        for row in want_df.itertuples()
+    }
+    assert got == want
