@@ -1140,3 +1140,49 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity sums, explicit BIGINT casts for the gate canonicalizer."""
     load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GSETS_SQL)
+
+
+# ───────────────── try_* error-tolerant arithmetic ───────────────
+
+_TRY_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity <> 0.0
+            THEN l_extendedprice / l_quantity END AS unit_price,
+       CASE WHEN l_linenumber - 1 <> 0
+            THEN CAST(l_quantity AS BIGINT) // (l_linenumber - 1) END
+         AS qty_per_prior_line,
+       TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_num,
+       TRY_CAST(l_shipdate AS DATE) AS ship_day
+FROM lineitem
+WHERE l_orderkey % 7 = 0
+"""
+
+
+@register("try_arithmetic", _TRY_SQL)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression battery: Spark 4 runs ANSI mode, so
+    division by zero and bad casts THROW mid-job unless the query
+    opts into totality — try_divide/try_cast return NULL instead,
+    turning a poison row into a null cell rather than a dead 100 TB
+    job (the single-bad-record failure mode of strict pipelines).
+    The oracle expresses the same totality with guard CASEs (DuckDB
+    division by zero is an error too) and TRY_CAST. Covers: null on
+    zero-divisor double division, null on zero integer division, a
+    cast that always fails (letter → DOUBLE: a NULL column with a
+    pinned type), and a cast that always succeeds (timestamp →
+    DATE). Pure codegen projection, no shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 7 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "unit_price"
+        ),
+        F.try_divide(
+            F.col("l_quantity").cast("bigint"), F.col("l_linenumber") - 1
+        )
+        .cast("bigint")
+        .alias("qty_per_prior_line"),
+        F.expr("try_cast(l_returnflag AS DOUBLE)").alias("flag_as_num"),
+        F.expr("try_cast(l_shipdate AS DATE)").alias("ship_day"),
+    )
