@@ -129,6 +129,12 @@ HEADLINE = [
     "minhash_incremental_pairs",
     "bag_set_operations",
     "null_semantics",
+    "multi_format_union",
+    "random_projection_reduce",
+    "lateral_topn_per_key",
+    "grouping_sets_custom",
+    "gap_fill_interpolate",
+    "try_arithmetic",
 ]
 
 
