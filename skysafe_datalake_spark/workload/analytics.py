@@ -1807,3 +1807,75 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("raw_value"),
         pround(interp, 6).alias("interp_value"),
     )
+
+
+# ───────────────── calendar spine zero-fill ──────────────────────
+
+_SPINE_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM e
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                                     CAST(b.d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds b
+),
+types AS (SELECT DISTINCT event_type FROM e),
+grid AS (SELECT s.day, t.event_type FROM spine s CROSS JOIN types t),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM e GROUP BY CAST(ts AS DATE), event_type
+)
+SELECT g.day, g.event_type,
+       COALESCE(d.n, 0) AS n_events,
+       COALESCE(d.cents, 0) AS sum_cents
+FROM grid g
+LEFT JOIN daily d ON d.day = g.day AND d.event_type = g.event_type
+"""
+
+
+@register("calendar_spine_fill", _SPINE_SQL)
+def calendar_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar reporting: a generated day × event-type spine
+    LEFT-joined onto daily aggregates so silent days surface as
+    explicit zero rows — without the spine, a day with no data simply
+    doesn't exist in the output and every downstream moving average /
+    chart / anomaly rule silently skips it (the classic time-series
+    reporting bug). The spine comes from ``sequence()`` between the
+    data's own min/max dates (two scalar aggregates, broadcast), the
+    dimension list from a DISTINCT — both tiny at any data scale, so
+    the grid is broadcast against the daily aggregate. Money in
+    integer cents."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return F.broadcast(grid).join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
+        F.coalesce(F.col("cents"), F.lit(0).cast("bigint")).alias(
+            "sum_cents"
+        ),
+    )

@@ -1105,3 +1105,111 @@ def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ─────────── stream-stream FULL OUTER join (gate query) ──────────
+
+_SFOJ_SQL = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                  event_type FROM events)
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       COALESCE(c.user_id, p.user_id) AS user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_s
+FROM (SELECT * FROM e WHERE event_type = 'click') c
+FULL JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("streaming_full_outer_join", _SFOJ_SQL)
+def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join
+    matrix (inner: streaming_interval_join; left_outer:
+    streaming_left_outer_join): BOTH sides emit null-padded once the
+    global watermark proves no counterpart can arrive, so clicks
+    without purchases AND purchases without a preceding click both
+    survive. Same two-pass sentinel flush protocol against one
+    checkpoint; the sentinel pair matches itself and is filtered by
+    id sign on both columns. Result equals the batch FULL JOIN."""
+    import uuid
+
+    from skysafe_datalake_spark.streaming.driver import interval_join_streams
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="skysafe_sfoj_")
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        e.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        ).coalesce(4).write.parquet(f"{tmp}/clicks")
+        e.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        ).coalesce(4).write.parquet(f"{tmp}/purchases")
+        flush_ts = e.agg(
+            F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
+        ).first()[0]
+
+        def run_pass() -> None:
+            clicks = spark.readStream.schema(
+                "click_id bigint, c_user bigint, c_ts timestamp"
+            ).parquet(f"{tmp}/clicks")
+            purchases = spark.readStream.schema(
+                "purchase_id bigint, p_user bigint, p_ts timestamp"
+            ).parquet(f"{tmp}/purchases")
+            joined = interval_join_streams(
+                clicks,
+                purchases,
+                left_key="c_user",
+                right_key="p_user",
+                left_ts="c_ts",
+                right_ts="p_ts",
+                watermark="1 hour",
+                within="30 minutes",
+                how="full_outer",
+            ).select(
+                "click_id",
+                "purchase_id",
+                F.coalesce(F.col("c_user"), F.col("p_user")).alias(
+                    "user_id"
+                ),
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+                ).cast("bigint").alias("delay_s"),
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_pass()
+        spark.createDataFrame(
+            [(-1, -1, flush_ts)],
+            "click_id bigint, c_user bigint, c_ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/clicks")
+        spark.createDataFrame(
+            [(-1, -1, flush_ts)],
+            "purchase_id bigint, p_user bigint, p_ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(f"{tmp}/purchases")
+        run_pass()
+        out = spark.read.parquet(f"{tmp}/out").where(
+            (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+            & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
