@@ -1879,3 +1879,95 @@ def calendar_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents"
         ),
     )
+
+
+# ───────────────── k-core peeling (bounded rounds) ───────────────
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+_KCORE_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem
+),
+edges AS (
+  SELECT a.s AS u, b.s AS v
+  FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+und0 AS (
+  SELECT u AS a, v AS b FROM edges
+  UNION ALL SELECT v AS a, u AS b FROM edges
+),
+d0 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und0 GROUP BY a),
+keep1 AS (SELECT a FROM d0 WHERE deg >= {_KCORE_K}),
+und1 AS (
+  SELECT e.a, e.b FROM und0 e
+  JOIN keep1 ka ON ka.a = e.a
+  JOIN keep1 kb ON kb.a = e.b
+),
+d1 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und1 GROUP BY a),
+keep2 AS (SELECT a FROM d1 WHERE deg >= {_KCORE_K}),
+und2 AS (
+  SELECT e.a, e.b FROM und1 e
+  JOIN keep2 ka ON ka.a = e.a
+  JOIN keep2 kb ON kb.a = e.b
+),
+d2 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und2 GROUP BY a),
+keep3 AS (SELECT a FROM d2 WHERE deg >= {_KCORE_K}),
+und3 AS (
+  SELECT e.a, e.b FROM und2 e
+  JOIN keep3 ka ON ka.a = e.a
+  JOIN keep3 kb ON kb.a = e.b
+),
+d3 AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg FROM und3 GROUP BY a)
+SELECT CAST(a AS BIGINT) AS node, deg AS core_degree
+FROM d3 WHERE deg >= {_KCORE_K}
+"""
+
+
+@register("kcore_peel", _KCORE_SQL)
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition ({_KCORE_ROUNDS} peeling rounds,
+    k={_KCORE_K}) on the supplier co-occurrence graph: repeatedly drop
+    nodes of degree < k and recount — the community-density screen
+    used to prune weakly-connected spam subgraphs before expensive
+    graph analytics. Fixed round count keeps both sides loop-free
+    and the oracle an unrolled-CTE twin (full k-core runs rounds to
+    a fixpoint; each round here is the same operator, so the bounded
+    form pins the recurrence exactly — pagerank_integer's unrolling
+    argument). Spark side: per round one degree aggregation + two
+    semi joins against the ≤|nodes| keep-list, frontier lineage cut
+    per round. Scale: everything keys on node id; the keep-list
+    semi joins broadcast at any realistic core size."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    und = und.localCheckpoint(eager=False)
+    for _ in range(_KCORE_ROUNDS):
+        deg = und.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= _KCORE_K).select("a")
+        und = (
+            und.join(F.broadcast(keep), "a", "left_semi")
+            .join(
+                F.broadcast(keep.select(F.col("a").alias("b"))),
+                "b",
+                "left_semi",
+            )
+            .localCheckpoint(eager=False)
+        )
+    final = und.groupBy("a").agg(F.count("*").cast("bigint").alias("deg"))
+    return final.where(F.col("deg") >= _KCORE_K).select(
+        F.col("a").cast("bigint").alias("node"),
+        F.col("deg").alias("core_degree"),
+    )
