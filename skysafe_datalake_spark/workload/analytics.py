@@ -1928,8 +1928,8 @@ FROM d3 WHERE deg >= {_KCORE_K}
 
 @register("kcore_peel", _KCORE_SQL)
 def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded k-core decomposition ({_KCORE_ROUNDS} peeling rounds,
-    k={_KCORE_K}) on the supplier co-occurrence graph: repeatedly drop
+    """Bounded k-core decomposition (3 peeling rounds, k=4) on the
+    supplier co-occurrence graph: repeatedly drop
     nodes of degree < k and recount — the community-density screen
     used to prune weakly-connected spam subgraphs before expensive
     graph analytics. Fixed round count keeps both sides loop-free
