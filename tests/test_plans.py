@@ -492,3 +492,28 @@ def test_recursive_cte_uses_engine_recursion(spark):
     fail over to something else."""
     plan = plan_of(spark, "recursive_cte_walk")
     assert "UnionLoop" in plan or "Recursion" in plan
+
+
+def test_join_strategy_hints_honored(spark):
+    """The SQL surface must expose optimizer control: BROADCAST,
+    MERGE, and SHUFFLE_HASH hints each force their join strategy on
+    the same query (how a user overrides a bad stats-driven choice
+    on a real cluster)."""
+    from skysafe_datalake_spark.workload.tables import load
+
+    load(spark, SF_SMALL, "orders").createOrReplaceTempView("h_orders")
+    load(spark, SF_SMALL, "customer").createOrReplaceTempView("h_customer")
+    base = (
+        "SELECT /*+ {hint}(c) */ c.c_custkey, o.o_orderkey "
+        "FROM h_orders o JOIN h_customer c ON c.c_custkey = o.o_custkey"
+    )
+
+    def plan(hint: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spark.sql(base.format(hint=hint)).explain("formatted")
+        return buf.getvalue()
+
+    assert "BroadcastHashJoin" in plan("BROADCAST")
+    assert "SortMergeJoin" in plan("MERGE")
+    assert "ShuffledHashJoin" in plan("SHUFFLE_HASH")
