@@ -231,3 +231,46 @@ def test_pq_topk_recall_and_shape(spark):
     # distances are monotone non-decreasing in rank order
     dists = [r["adist"] for r in out]
     assert dists == sorted(dists)
+
+
+# ───────────────── degenerate inputs, round-3 ops ────────────────
+
+
+def test_round3_operators_survive_degenerate_inputs(spark):
+    """Empty and single-row inputs must produce empty/sane results,
+    not crashes: these code paths (empty offset maps, empty Bloom
+    builds, single-node graphs) only fire on degenerate data."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_signatures,
+    )
+    from skysafe_datalake_spark.operators.ranking import skyline_2d
+    from skysafe_datalake_spark.operators.similarity import pq_topk
+
+    # skyline: empty input → empty output
+    empty = spark.createDataFrame([], "id long, price double, size long")
+    assert skyline_2d(empty, "price", "size").count() == 0
+    # skyline: single row is trivially on the frontier
+    one = spark.createDataFrame([(1, 5.0, 3)], "id long, price double, size long")
+    assert [r["id"] for r in skyline_2d(one, "price", "size").collect()] == [1]
+
+    # pq_topk: corpus of ONE other vector → exactly one neighbor
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 16), (1, [0.5] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(emb, 0, dim=16, n_subspaces=4, k=5).collect()
+    assert [r["vec_id"] for r in out] == [1]
+
+    # incremental minhash: empty batch → no pairs (and no crash on
+    # the broadcast of an empty side)
+    docs = spark.createDataFrame(
+        [(1, "some shingled text long enough")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    empty_sigs = sigs.where(F.lit(False))
+    assert (
+        minhash_incremental_pairs(sigs, empty_sigs, "doc_id").count() == 0
+    )
