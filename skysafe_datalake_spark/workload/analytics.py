@@ -1971,3 +1971,180 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("bigint").alias("node"),
         F.col("deg").alias("core_degree"),
     )
+
+
+# ───────────────────── rank-based AUC (model eval) ───────────────
+
+_AUC_SQL = """
+WITH scored AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS score,
+         CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, score, y,
+         CAST(row_number() OVER (ORDER BY score, vec_id) AS BIGINT) AS r
+  FROM scored
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS BIGINT)
+           AS pos_rank_sum,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked
+)
+SELECT n_pos, n - n_pos AS n_neg,
+       floor((CAST(pos_rank_sum - n_pos * (n_pos + 1) // 2 AS DOUBLE)
+              / (CAST(n_pos AS DOUBLE) * (n - n_pos)))
+             * 1000000.0 + 0.5) / 1000000.0 AS auc
+FROM agg
+"""
+
+
+@register("auc_rank_eval", _AUC_SQL)
+def auc_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC by the Mann–Whitney rank identity:
+    AUC = (Σ rank(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻) — the model-
+    evaluation primitive, computed WITHOUT enumerating the n⁺·n⁻
+    score pairs (the naive join is quadratic in class sizes). The
+    global rank comes from operators.ranking.global_rank — the
+    range-partitioned two-phase construction — so no single-partition
+    window exists; everything after ranking is one map-side-combined
+    aggregate to a single row. Score ties resolve by vec_id in BOTH
+    engines (identical total order → identical ranks; on continuous
+    scores this matches the average-rank AUC up to measure-zero
+    ties). Numerator stays in integer rank arithmetic until the one
+    final division."""
+    from skysafe_datalake_spark.operators.ranking import global_rank
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    ranked = global_rank(
+        scored, [F.col("score").asc(), F.col("vec_id").asc()], rank_name="r"
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_rank_sum"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        pround(
+            (
+                F.col("pos_rank_sum")
+                - F.expr("n_pos * (n_pos + 1) DIV 2")
+            ).cast("double")
+            / (
+                F.col("n_pos").cast("double")
+                * (F.col("n") - F.col("n_pos"))
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ───────────── confusion-matrix evaluation (P/R/F1) ──────────────
+
+_CONFUSION_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+cents AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM e
+),
+thr AS (
+  SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)
+    AS median_c
+  FROM cents
+),
+pred AS (
+  SELECT y, CASE WHEN c >= thr.median_c THEN 1 ELSE 0 END AS p
+  FROM cents, thr
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(SUM(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(SUM(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fn,
+         CAST(SUM(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tn
+  FROM pred
+)
+SELECT tp, fp, fn, tn,
+       floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000.0 + 0.5)
+         / 1000000.0 AS precision_,
+       floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000.0 + 0.5)
+         / 1000000.0 AS recall_,
+       floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000.0 + 0.5)
+         / 1000000.0 AS f1
+FROM m
+"""
+
+
+@register("confusion_matrix_eval", _CONFUSION_SQL)
+def confusion_matrix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation: a median-threshold predictor
+    (integer cents, exact discrete median via percentile_disc — a
+    REAL dataset value, so both engines pick the identical cut with
+    no interpolation ambiguity) scored against the purchase label:
+    confusion counts plus precision/recall/F1, integers until three
+    final divisions. Together with auc_rank_eval this gives the
+    model-eval pair every training pipeline ends with (threshold-free
+    ranking quality + threshold-dependent operating point). One
+    aggregation pass after a broadcast scalar threshold — constant
+    output at any scale. (Column named precision_ because DuckDB
+    reserves bare `precision`.)"""
+    e = load(spark, sf_dir, "events")
+    cents = e.select(
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    median_c = cents.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").cast(
+            "bigint"
+        )
+    ).first()[0]  # 1-row scalar pull (broadcast threshold)
+    pred = cents.select(
+        "y", F.when(F.col("c") >= median_c, 1).otherwise(0).alias("p")
+    )
+    m = pred.agg(
+        F.sum(F.when((F.col("p") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("p") == 1) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("p") == 0) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("p") == 0) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        pround(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision_"),
+        pround(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+        ).alias("recall_"),
+        pround(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+    )
