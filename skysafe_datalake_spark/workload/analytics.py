@@ -2148,3 +2148,114 @@ def confusion_matrix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+# ───────────── population stability index (drift) ────────────────
+
+_PSI_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+halves AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS half
+  FROM e
+),
+cuts AS (
+  SELECT
+    CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c1,
+    CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c2,
+    CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c3,
+    CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c4,
+    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c5,
+    CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c6,
+    CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c7,
+    CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c8,
+    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS BIGINT) AS c9
+  FROM halves WHERE half = 0
+),
+binned AS (
+  SELECT half,
+         CASE WHEN c < cuts.c1 THEN 0 WHEN c < cuts.c2 THEN 1
+              WHEN c < cuts.c3 THEN 2 WHEN c < cuts.c4 THEN 3
+              WHEN c < cuts.c5 THEN 4 WHEN c < cuts.c6 THEN 5
+              WHEN c < cuts.c7 THEN 6 WHEN c < cuts.c8 THEN 7
+              WHEN c < cuts.c9 THEN 8 ELSE 9 END AS bin
+  FROM halves, cuts
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM counts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       floor(CAST(SUM(CAST(
+           (CAST(n_ref AS DOUBLE) / t_ref - CAST(n_cur AS DOUBLE) / t_cur)
+           * ln((CAST(n_ref AS DOUBLE) / t_ref)
+                / (CAST(n_cur AS DOUBLE) / t_cur))
+         AS DECIMAL(18,12))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS psi
+FROM counts, tot
+"""
+
+
+@register("psi_drift_monitor", _PSI_SQL)
+def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half
+    of the event stream — THE production drift alarm for a feature
+    or score distribution (rule of thumb: >0.2 means retrain).
+    Reference-half decile cuts come from percentile_disc (REAL
+    dataset values — both engines cut identically, no interpolation),
+    binning is a broadcast CASE chain, and PSI's per-bin terms are
+    decimal-summed so the statistic is partition-order-exact. Counts
+    stay integer until two divisions and one ln per bin — 10 bins
+    regardless of data size, one aggregation pass per half."""
+    e = load(spark, sf_dir, "events")
+    halves = e.select(
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+        F.when(F.col("ts") < "2024-01-16", 0).otherwise(1).alias("half"),
+    )
+    ref = halves.where(F.col("half") == 0)
+    cuts = ref.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc(0.{q}) WITHIN GROUP (ORDER BY c)"
+                " AS BIGINT)"
+            ).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    ).first()  # 9 scalar cut points — bounded pull, broadcast below
+    bin_col = F.lit(9)
+    for q in range(9, 0, -1):
+        bin_col = F.when(F.col("c") < cuts[f"c{q}"], q - 1).otherwise(
+            bin_col
+        )
+    counts = halves.select("half", bin_col.alias("bin")).groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    p = F.col("n_ref").cast("double") / F.col("t_ref")
+    qq = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count("*").cast("bigint").alias("n_bins"),
+            pround(
+                F.sum(((p - qq) * F.log(p / qq)).cast("decimal(18,12)"))
+                .cast("double"),
+                6,
+            ).alias("psi"),
+        )
+    )
