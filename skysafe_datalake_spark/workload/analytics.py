@@ -1848,8 +1848,9 @@ def calendar_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     chart / anomaly rule silently skips it (the classic time-series
     reporting bug). The spine comes from ``sequence()`` between the
     data's own min/max dates (two scalar aggregates, broadcast), the
-    dimension list from a DISTINCT — both tiny at any data scale, so
-    the grid is broadcast against the daily aggregate. Money in
+    dimension list from a DISTINCT — both tiny at any data scale; the
+    daily aggregate broadcasts as the join's build side (the
+    preserved grid side of a left join cannot be the build side). Money in
     integer cents."""
     e = load(spark, sf_dir, "events")
     bounds = e.agg(
@@ -1871,7 +1872,11 @@ def calendar_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    return F.broadcast(grid).join(daily, ["day", "event_type"], "left").select(
+    # Build side must be the RIGHT of a left-outer broadcast join —
+    # F.broadcast(grid) on the preserved side is silently unsupported
+    # (HintErrorLogger) and falls back to a shuffle. The aggregated
+    # daily table is the broadcastable side.
+    return grid.join(F.broadcast(daily), ["day", "event_type"], "left").select(
         "day",
         "event_type",
         F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_events"),
