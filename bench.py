@@ -135,6 +135,11 @@ HEADLINE = [
     "grouping_sets_custom",
     "gap_fill_interpolate",
     "try_arithmetic",
+    "calendar_spine_fill",
+    "kcore_peel",
+    "auc_rank_eval",
+    "confusion_matrix_eval",
+    "psi_drift_monitor",
 ]
 
 
