@@ -2264,3 +2264,65 @@ def psi_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+# ───────────── group-wise z-score normalization ──────────────────
+
+_ZSCORE_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+  FROM e GROUP BY event_type
+),
+mu_sigma AS (
+  SELECT event_type, n,
+         s1 / n AS mu,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sigma
+  FROM stats
+)
+SELECT e.event_id, e.event_type,
+       floor((e.value - m.mu) / m.sigma * 1000000.0 + 0.5) / 1000000.0
+         AS zscore
+FROM e JOIN mu_sigma m ON m.event_type = e.event_type
+"""
+
+
+@register("groupwise_zscore", _ZSCORE_SQL)
+def groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization — the feature-scaling step
+    before any distance-based ML (the reference's StandardScaler
+    semantics, M2, re-derived relationally so it is oracle-exact and
+    needs no fitted model object). Group μ/σ come from decimal-exact
+    sufficient statistics (sample σ, matching Spark stddev/DuckDB
+    stddev_samp) computed in ONE aggregation and broadcast back onto
+    the facts — the fact table is scanned twice but never shuffled
+    (a window formulation would shuffle every row by group; the
+    broadcast join wins whenever groups ≪ rows, which is what
+    "normalization per feature/segment" always looks like).
+    Reference: /root/reference/src/combine_spark.py:199-204
+    (StandardScaler withMean/withStd) and :353-355 (the fitted μ/σ
+    reused as plain column expressions — exactly this shape)."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value"), 4).alias("s2"),
+    )
+    mu_sigma = stats.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    return e.join(F.broadcast(mu_sigma), "event_type").select(
+        "event_id",
+        "event_type",
+        pround((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+            "zscore"
+        ),
+    )
