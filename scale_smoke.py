@@ -60,6 +60,17 @@ NAMES = [
     "bfs_khop_reach",
     "ann_pq_topk",
     "ml_linreg_by_group",
+    # round-3 third batch
+    "skyline_pareto",
+    "recursive_cte_walk",
+    "multitouch_attribution",
+    "minhash_incremental_pairs",
+    "rolling_ols_slope",
+    "gap_fill_interpolate",
+    "calendar_spine_fill",
+    "kcore_peel",
+    "lateral_topn_per_key",
+    "bag_set_operations",
 ]
 
 
@@ -116,10 +127,14 @@ def timed(spark, sf_dir: str) -> dict[str, float]:
         # min of 3: single long-session measurements catch GC /
         # shuffle-fetch stalls worth 5-10x the query itself on this
         # shared box; the min is the reproducible engine cost.
+        # Time construction AND action (bench.py convention): some
+        # queries do real work eagerly while the plan is built
+        # (recursive CTE materializes through a checkpoint) — timing
+        # only the action under-reports them to near zero.
         runs = []
         for _ in range(3):
-            df = QUERIES[n](spark, sf_dir)
             t0 = time.perf_counter()
+            df = QUERIES[n](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         out[n] = min(runs)
