@@ -140,6 +140,8 @@ HEADLINE = [
     "auc_rank_eval",
     "confusion_matrix_eval",
     "psi_drift_monitor",
+    "groupwise_zscore",
+    "streaming_dedup_watermark",
 ]
 
 

@@ -1213,3 +1213,71 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ─────────── streaming dedup within watermark (gate) ─────────────
+
+_SDEDUP_SQL = """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                  event_type FROM events),
+dup AS (
+  SELECT event_id, ts, user_id, event_type FROM e
+  UNION ALL
+  SELECT event_id, ts, user_id, event_type FROM e WHERE event_id % 3 = 0
+)
+SELECT event_id,
+       CAST(COUNT(*) AS BIGINT) AS n_after_dedup
+FROM (
+  SELECT DISTINCT event_id, ts, user_id, event_type FROM dup
+) d
+GROUP BY event_id
+"""
+
+
+@register("streaming_dedup_watermark", _SDEDUP_SQL)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under real replay:
+    dropDuplicatesWithinWatermark over a stream that REALLY contains
+    duplicates (every third event re-sent — the at-least-once
+    delivery shape). State is keyed by event_id and expires once the
+    watermark passes, so memory is bounded by the dedup horizon, not
+    the stream's history — the property a plain dropDuplicates on a
+    stream cannot have. Under availableNow the surviving set equals
+    batch DISTINCT (the oracle); the output re-aggregates per id to
+    prove exactly one survivor per duplicated key."""
+    import uuid
+
+    from skysafe_datalake_spark.streaming.driver import streaming_dedup
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dup = e.unionByName(e.where(F.col("event_id") % 3 == 0))
+    tmp = tempfile.mkdtemp(prefix="skysafe_sdd_")
+    qn = f"sdd_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        dup.coalesce(4).write.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string"
+        ).parquet(f"{tmp}/in")
+        deduped = streaming_dedup(stream, id_col="event_id", watermark="2 hours")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(qn)
+            .groupBy("event_id")
+            .agg(F.count("*").cast("bigint").alias("n_after_dedup"))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
