@@ -142,6 +142,7 @@ HEADLINE = [
     "psi_drift_monitor",
     "groupwise_zscore",
     "streaming_dedup_watermark",
+    "event_pattern_match",
 ]
 
 

@@ -2326,3 +2326,85 @@ def groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zscore"
         ),
     )
+
+
+# ───────────── event-sequence pattern matching (CEP) ─────────────
+
+_PATTERN_SQL = f"""
+WITH e AS ({EVENTS_SQL}),
+coded AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+              ELSE 'e' END AS sym
+  FROM e
+),
+seqs AS (
+  SELECT user_id,
+         string_agg(sym, '' ORDER BY ts, event_id) AS seq
+  FROM coded
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(length(seq) - length(regexp_replace(seq, 'v[ce]*c[ce]*p', '',
+                                                'g')) AS BIGINT)
+         AS matched_len,
+       CAST(len(regexp_extract_all(seq, 'v[ce]*c[ce]*p')) AS BIGINT)
+         AS n_conversions
+FROM seqs
+WHERE len(regexp_extract_all(seq, 'v[ce]*c[ce]*p')) > 0
+"""
+
+
+@register("event_pattern_match", _PATTERN_SQL)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style complex-event detection, relationally:
+    each user's event history becomes an ordered symbol string (one
+    deterministic char per event type, total order (ts, event_id)),
+    and the pattern "view, then click, then purchase, with only
+    clicks/errors between" is the regex v[ce]*c[ce]*p — counting
+    non-overlapping matches per user. Spark has no MATCH_RECOGNIZE;
+    encoding runs as ordered string aggregation (one shuffle by
+    user, sequences bounded by per-user activity) and the PATTERN
+    layer is a pure codegen regex — the same trick scales to any
+    regular pattern, which is exactly the MATCH_RECOGNIZE subset
+    most CEP queries use. Greedy regex semantics are identical in
+    both engines (POSIX leftmost-longest differences don't arise:
+    the pattern is deterministic on this alphabet)."""
+    e = load(spark, sf_dir, "events")
+    coded = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+        .alias("sym"),
+    )
+    seqs = coded.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "sym"))
+                ),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    pat = "v[ce]*c[ce]*p"
+    n_conv = F.size(F.expr(f"regexp_extract_all(seq, '{pat}', 0)"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        (
+            F.length("seq")
+            - F.length(F.regexp_replace("seq", pat, ""))
+        )
+        .cast("bigint")
+        .alias("matched_len"),
+        n_conv.cast("bigint").alias("n_conversions"),
+    ).where(n_conv > 0)
