@@ -143,6 +143,7 @@ HEADLINE = [
     "groupwise_zscore",
     "streaming_dedup_watermark",
     "event_pattern_match",
+    "calibration_bins",
 ]
 
 

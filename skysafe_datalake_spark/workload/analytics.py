@@ -2408,3 +2408,75 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("matched_len"),
         n_conv.cast("bigint").alias("n_conversions"),
     ).where(n_conv > 0)
+
+
+# ───────────── calibration bins (reliability) ────────────────────
+
+_CALIB_SQL = """
+WITH scored AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS raw,
+         CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+bounds AS (SELECT MIN(raw) AS lo, MAX(raw) AS hi FROM scored),
+binned AS (
+  SELECT y, raw,
+         LEAST(CAST(floor((raw - bounds.lo) / (bounds.hi - bounds.lo)
+                          * 10.0) AS BIGINT), 9) AS bin
+  FROM scored, bounds
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       floor(CAST(SUM(CAST(raw AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_score,
+       floor(CAST(SUM(y) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+         / 1000000.0 AS pos_rate
+FROM binned
+GROUP BY bin
+"""
+
+
+@register("calibration_bins", _CALIB_SQL)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram data — the third leg of the eval family
+    (ranking quality: auc_rank_eval; operating point:
+    confusion_matrix_eval; calibration: this): scores bucketed into
+    10 equi-width bins between the observed min/max (two broadcast
+    scalars), per-bin mean score vs positive rate. A calibrated
+    model's bins hug the diagonal; the gap drives recalibration.
+    Integer counts plus a decimal-summed score mean; bin assignment
+    is a single exact double expression clamped at the top edge
+    (the max score lands in bin 9, not a phantom bin 10). One
+    aggregation pass, 10 output rows at any scale."""
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("raw"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("y"),
+    )
+    bounds = scored.agg(
+        F.min("raw").alias("lo"), F.max("raw").alias("hi")
+    )
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        "y",
+        "raw",
+        F.least(
+            F.floor(
+                (F.col("raw") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10.0
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        pround(
+            dsum(F.col("raw"), 8) / F.count("*"), 6
+        ).alias("mean_score"),
+        pround(
+            F.sum("y").cast("double") / F.count("*"), 6
+        ).alias("pos_rate"),
+    )
