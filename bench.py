@@ -144,6 +144,7 @@ HEADLINE = [
     "streaming_dedup_watermark",
     "event_pattern_match",
     "calibration_bins",
+    "hll_distinct_sketch",
 ]
 
 

@@ -380,3 +380,154 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ──────────────────── HyperLogLog distinct sketch ────────────────
+
+# Spark's approx_count_distinct IS HyperLogLog++, but its binary
+# register state and bias tables are engine-internal, so an oracle
+# can't check it. This is the classic Flajolet HLL on portable
+# primitives: p=8 → m=256 registers addressed by the first two hex
+# digits of md5, rho = 1 + leading-zero-bits of the next 24 hash
+# bits, harmonic mean in scaled-integer arithmetic (sums of 2^k are
+# exact BIGINTs, immune to float summation order), and the standard
+# linear-counting fallback for the small range — rounded to a whole
+# integer so both engines agree bit-for-bit.
+
+_HLL_M = 256  # registers (p = 8)
+_HLL_BITS = 24  # rho bits per hash → rho ∈ 1..25
+_HLL_EMPTY = 2**_HLL_BITS * 2  # 2^25: an empty register's 2^(25-0)
+# alpha_256 = 0.7213/(1 + 1.079/256), fixed-point at 1e-6.
+_HLL_ALPHA_1E6 = 718273
+# Raw-estimate numerator: alpha·m²·2^25, pre-multiplied by 1e6.
+_HLL_NUMER = _HLL_ALPHA_1E6 * _HLL_M * _HLL_M * 2**_HLL_BITS * 2
+_HLL_SMALL = 5 * _HLL_M // 2  # below this, prefer linear counting
+
+
+def _bitlen_sql(expr: str, bits: int) -> str:
+    """Portable integer bit-length: count of k in [0, bits) with
+    ``expr`` >= 2^k. Pure comparisons — identical in any engine."""
+    terms = [
+        f"(CASE WHEN {expr} >= {2 ** k} THEN 1 ELSE 0 END)"
+        for k in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_HLL_SQL = f"""
+WITH coords AS (
+  SELECT lang,
+         {hex_int_sql("substr(md5(text), 1, 2)", 2)} AS reg,
+         {hex_int_sql("substr(md5(text), 3, 6)", 6)} AS v
+  FROM documents
+),
+regs AS (
+  SELECT lang, reg,
+         MAX({_HLL_BITS + 1} - {_bitlen_sql('v', _HLL_BITS)}) AS m_r
+  FROM coords GROUP BY lang, reg
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(CAST(power(2, {_HLL_BITS + 1} - m_r) AS BIGINT))
+           AS BIGINT) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS n_registers
+  FROM regs GROUP BY lang
+),
+est AS (
+  SELECT lang, n_registers,
+         CAST({_HLL_NUMER} AS BIGINT)
+           // (s_present + ({_HLL_M} - n_registers)
+               * CAST({_HLL_EMPTY} AS BIGINT))
+           // 1000000 AS raw_est
+  FROM agg
+),
+exact AS (
+  SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+  FROM documents GROUP BY lang
+)
+SELECT e.lang, e.exact_distinct, t.n_registers,
+       CAST(t.raw_est AS BIGINT) AS hll_raw,
+       CAST(CASE
+         WHEN t.raw_est < {_HLL_SMALL} AND t.n_registers < {_HLL_M}
+         THEN CAST(floor({_HLL_M} * ln({_HLL_M}.0
+                / ({_HLL_M} - t.n_registers)) + 0.5) AS BIGINT)
+         ELSE t.raw_est
+       END AS BIGINT) AS hll_estimate
+FROM exact e
+JOIN est t ON t.lang = e.lang
+"""
+
+
+@register("hll_distinct_sketch", _HLL_SQL)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-document estimate via a from-scratch
+    HyperLogLog (m=256 registers) next to the exact count: register =
+    first 8 md5 bits, rho = 1 + leading zeros of the next 24 bits
+    (computed as a portable comparison-count bit-length, no engine
+    clz), registers combine by MAX, the harmonic mean runs in scaled
+    integers (Σ 2^(25-M_j) is an exact BIGINT — float summation
+    order can't perturb it), and the small-range linear-counting
+    fallback (m·ln(m/V), rounded to a whole count) kicks in below
+    2.5·m when empty registers remain. Parity with the reference's
+    cardinality estimation (SURVEY §2.4) with oracle-checkable state.
+
+    Scale shape: duplicates are absorbed by MAX(rho) — no DISTINCT
+    pre-pass, so the build is ONE aggregation with map-side combine
+    to ≤ m rows per group, then a ≤ m-row fold. The register table
+    is associatively mergeable (MAX), so micro-batches / partitions
+    union for free; this is exactly how approx_count_distinct
+    scales, with the state auditable. The exact COUNT(DISTINCT)
+    rides along only as the quality reference."""
+    docs = load(spark, sf_dir, "documents")
+    coords = docs.select(
+        "lang",
+        F.expr(hex_int_sql("substr(md5(text), 1, 2)", 2)).alias("reg"),
+        F.expr(hex_int_sql("substr(md5(text), 3, 6)", 6)).alias("v"),
+    )
+    regs = coords.groupBy("lang", "reg").agg(
+        F.max(
+            F.lit(_HLL_BITS + 1) - F.expr(_bitlen_sql("v", _HLL_BITS))
+        ).alias("m_r")
+    )
+    agg = regs.groupBy("lang").agg(
+        F.sum(
+            F.expr(f"cast(power(2, {_HLL_BITS + 1} - m_r) as bigint)")
+        )
+        .cast("bigint")
+        .alias("s_present"),
+        F.count("*").cast("bigint").alias("n_registers"),
+    )
+    est = agg.select(
+        "lang",
+        "n_registers",
+        F.expr(
+            f"cast({_HLL_NUMER} as bigint)"
+            f" div (s_present + ({_HLL_M} - n_registers)"
+            f" * cast({_HLL_EMPTY} as bigint)) div 1000000"
+        ).alias("raw_est"),
+    )
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").cast("bigint").alias("exact_distinct")
+    )
+    lin = F.floor(
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_registers")))
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            "n_registers",
+            F.col("raw_est").cast("bigint").alias("hll_raw"),
+            F.when(
+                (F.col("raw_est") < _HLL_SMALL)
+                & (F.col("n_registers") < _HLL_M),
+                lin,
+            )
+            .otherwise(F.col("raw_est"))
+            .cast("bigint")
+            .alias("hll_estimate"),
+        )
+    )

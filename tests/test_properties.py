@@ -232,6 +232,58 @@ def test_kmv_exact_when_not_full(spark, vals):
     assert est.n == distinct
 
 
+def test_hll_estimate_tracks_exact(spark):
+    """HLL (m=256, linear-counting fallback) must land within the
+    theoretical error envelope on real data: ~1.04/sqrt(m) ≈ 6.5%
+    standard error in the raw regime, tighter under linear counting.
+    25% is 3-4 sigma — a failure means broken register math, not
+    bad luck."""
+    from skysafe_datalake_spark.workload import QUERIES
+    from tests.conftest import SF_SMALL
+
+    for r in QUERIES["hll_distinct_sketch"](spark, SF_SMALL).collect():
+        assert r.hll_estimate > 0
+        rel = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel <= 0.25, (r.lang, r.exact_distinct, r.hll_estimate)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The register table of the full corpus equals the MAX-merge of
+    the register tables of any split of the corpus — the mergeability
+    contract that makes the sketch streamable/partitionable."""
+    from skysafe_datalake_spark.workload.sketches import (
+        _HLL_BITS,
+        _bitlen_sql,
+        hex_int_sql,
+    )
+    from skysafe_datalake_spark.workload.tables import load
+    from tests.conftest import SF_SMALL
+
+    docs = load(spark, SF_SMALL, "documents")
+
+    def regs(df):
+        coords = df.select(
+            "lang",
+            F.expr(hex_int_sql("substr(md5(text), 1, 2)", 2)).alias("reg"),
+            F.expr(hex_int_sql("substr(md5(text), 3, 6)", 6)).alias("v"),
+        )
+        out = coords.groupBy("lang", "reg").agg(
+            F.max(
+                F.lit(_HLL_BITS + 1) - F.expr(_bitlen_sql("v", _HLL_BITS))
+            ).alias("m_r")
+        )
+        return {(r.lang, r.reg): r.m_r for r in out.collect()}
+
+    whole = regs(docs)
+    half_a = regs(docs.where(F.crc32(F.col("doc_id").cast("string")) % 2 == 0))
+    half_b = regs(docs.where(F.crc32(F.col("doc_id").cast("string")) % 2 == 1))
+    merged: dict = {}
+    for part in (half_a, half_b):
+        for k, v in part.items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+
+
 def test_corpus_shuffle_is_permutation_and_salt_sensitive(spark):
     from skysafe_datalake_spark.workload import QUERIES
     from tests.conftest import SF_SMALL
@@ -261,6 +313,7 @@ _INVARIANCE_SAMPLE = [
     "global_stats",
     "stats_correlation",
     "kmv_distinct_sketch",
+    "hll_distinct_sketch",
     "countmin_heavyhitters",
     "histogram_quantile_sketch",
     "pagerank_integer",
