@@ -145,6 +145,7 @@ HEADLINE = [
     "event_pattern_match",
     "calibration_bins",
     "hll_distinct_sketch",
+    "leakage_safe_split",
 ]
 
 

@@ -183,9 +183,11 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    """
+# Shared oracle CTE: near-dup pairs (5-char shingle Jaccard ≥ 0.5 on
+# the doc_id < 500 slice) → connected components via recursive-CTE
+# transitive closure → min-node-id cluster labels. Used by
+# dedup_clusters and leakage_safe_split.
+_CC_CTE = """
 WITH RECURSIVE
 docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
 sh AS (
@@ -218,6 +220,13 @@ walk(node, label) AS (
   SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
 ),
 comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node)
+"""
+
+
+@register(
+    "dedup_clusters",
+    _CC_CTE
+    + """
 SELECT c.doc_id, c.cluster_id, s.cluster_size,
        (c.doc_id = c.cluster_id) AS is_canonical
 FROM comp c
@@ -239,6 +248,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_k=5, threshold=0.5
     ).select("a_id", "b_id")
     return dedup_cluster_assign(pairs, docs.select("doc_id"), "doc_id")
+
+
+@register(
+    "leakage_safe_split",
+    _CC_CTE
+    + """
+SELECT c.doc_id, c.cluster_id,
+       CASE WHEN CAST('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) % 100 < 90 THEN 'validation'
+            ELSE 'test' END AS split
+FROM comp c
+""",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/validation/test split: hash the near-dup
+    CLUSTER id, not the document id, so every member of a duplicate
+    cluster lands in the same split — the contamination guard a plain
+    per-document split (``dataset_split``) cannot give (a near-copy
+    of a training document in the test set is silent eval leakage;
+    decontamination surveys flag exactly this failure). Same
+    deterministic 80/10/10 md5 bucketing, same
+    add-documents-never-reshuffles property, now at cluster
+    granularity.
+
+    Scale shape: pair generation is the bucketed shingle equi-join,
+    components are O(log² n) label-propagation rounds, and the split
+    itself is a pure map over (doc_id, cluster_id) — no extra
+    shuffle beyond the dedup stage the pipeline already runs; the
+    split rides its output for free."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=5, threshold=0.5
+    ).select("a_id", "b_id")
+    clusters = dedup_cluster_assign(pairs, docs.select("doc_id"), "doc_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+        )
+        .cast("bigint")
+        % 100
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
 
 
 @register(

@@ -274,3 +274,39 @@ def test_round3_operators_survive_degenerate_inputs(spark):
     assert (
         minhash_incremental_pairs(sigs, empty_sigs, "doc_id").count() == 0
     )
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The leakage guard itself: every near-dup pair (the edges that
+    define contamination) must land in ONE split, and the split
+    distribution must come from cluster-id hashing (deterministic,
+    so re-runs agree)."""
+    from skysafe_datalake_spark.workload import QUERIES
+    from tests.conftest import SF_SMALL
+
+    out = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in QUERIES["leakage_safe_split"](spark, SF_SMALL).collect()
+    }
+    # cluster -> one split only
+    per_cluster = {}
+    for doc_id, (cid, split) in out.items():
+        per_cluster.setdefault(cid, set()).add(split)
+    assert all(len(s) == 1 for s in per_cluster.values())
+    # the raw near-dup pairs (same generator as the query) never straddle
+    from skysafe_datalake_spark.operators import dedup as D
+    from skysafe_datalake_spark.workload.tables import load
+
+    docs = load(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 500)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=5, threshold=0.5
+    ).collect()
+    assert pairs, "fixture must contain at least one near-dup pair"
+    for p in pairs:
+        assert out[p.a_id][1] == out[p.b_id][1], (p.a_id, p.b_id)
+    # determinism: second run is byte-identical
+    again = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in QUERIES["leakage_safe_split"](spark, SF_SMALL).collect()
+    }
+    assert again == out
