@@ -146,6 +146,7 @@ HEADLINE = [
     "calibration_bins",
     "hll_distinct_sketch",
     "leakage_safe_split",
+    "html_boilerplate_strip",
 ]
 
 

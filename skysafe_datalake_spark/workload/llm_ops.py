@@ -1978,3 +1978,130 @@ def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("norm_sq_e6"),
     )
+
+
+# ──────────────────── HTML boilerplate stripping ─────────────────
+
+# The corpus is plain text, so (as with pii_redact's fake contacts) a
+# deterministic HTML wrapper is synthesized first; the strip/measure
+# expressions are the real operator under test. Script/style bodies
+# contain no '<', so [^<]* matches them without dotall — Java regex
+# and RE2 agree on everything used here.
+_HTML_RAW_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><style>p{margin:0}</style></head><body>"
+    "<nav>home | about &amp; contact</nav><p>' || text || "
+    "'</p><a href=\"https://site.example/' || CAST(doc_id AS VARCHAR) || "
+    "'\">' || substr(text, 1, 20) || '</a>"
+    "<script>track(' || CAST(doc_id AS VARCHAR) || ');</script></body></html>'"
+)
+
+_HTML_A_TEXT = r"<a [^>]*>([^<]*)</a>"
+
+
+_HTML_MR_SQL = (
+    "floor((length(raw_html) - length(clean_text)) * 1000000.0"
+    " / length(raw_html) + 0.5) / 1000000.0"
+)
+_HTML_LD_SQL = (
+    "floor(link_chars * 1000000.0 / length(clean_text) + 0.5) / 1000000.0"
+)
+
+
+@register(
+    "html_boilerplate_strip",
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_HTML_RAW_SQL} AS raw_html FROM documents
+),
+stripped AS (
+  SELECT doc_id, raw_html,
+         length(regexp_extract(raw_html, '{_HTML_A_TEXT}', 1)) AS link_chars,
+         trim(regexp_replace(regexp_replace(replace(
+             regexp_replace(regexp_replace(raw_html,
+                 '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                 '<style[^>]*>[^<]*</style>', ' ', 'g'),
+             '&amp;', '&'),
+             '<[^>]+>', ' ', 'g'),
+             '  +', ' ', 'g')) AS clean_text
+  FROM raw
+)
+SELECT doc_id,
+       length(raw_html) AS raw_chars,
+       length(clean_text) AS clean_chars,
+       link_chars,
+       {_HTML_MR_SQL} AS markup_ratio,
+       {_HTML_LD_SQL} AS link_density,
+       ({_HTML_MR_SQL} > 0.5 OR {_HTML_LD_SQL} > 0.3) AS is_boilerplate,
+       clean_text
+FROM stripped
+""",
+)
+def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal + boilerplate signals, fully in-engine: drop
+    script/style blocks, decode entities, strip tags, collapse
+    whitespace — then measure markup_ratio (non-content share of raw
+    bytes) and link_density (anchor-text share of cleaned text), the
+    two classic boilerplate detectors (trafilatura/jusText use the
+    same signals). All regexp projection inside whole-stage codegen:
+    no UDF, no shuffle, linear in input splits at any scale — the
+    shape a 100 TB Common-Crawl-style cleaning pass needs."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"),
+        F.lit("<nav>home | about &amp; contact</nav><p>"),
+        F.col("text"),
+        F.lit('</p><a href="https://site.example/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.substring(F.col("text"), 1, 20),
+        F.lit("</a><script>track("),
+        F.col("doc_id").cast("string"),
+        F.lit(");</script></body></html>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            raw, r"<script[^>]*>[^<]*</script>", " "
+                        ),
+                        r"<style[^>]*>[^<]*</style>",
+                        " ",
+                    ),
+                    F.lit("&amp;"),
+                    F.lit("&"),
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r"  +",
+            " ",
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        F.length(raw).alias("raw_chars"),
+        F.length(clean).alias("clean_chars"),
+        F.length(F.regexp_extract(raw, _HTML_A_TEXT, 1)).alias("link_chars"),
+        clean.alias("clean_text"),
+    )
+    mr = pround(
+        (F.col("raw_chars") - F.col("clean_chars"))
+        / F.col("raw_chars").cast("double"),
+        6,
+    )
+    ld = pround(F.col("link_chars") / F.col("clean_chars").cast("double"), 6)
+    return out.select(
+        "doc_id",
+        "raw_chars",
+        "clean_chars",
+        "link_chars",
+        mr.alias("markup_ratio"),
+        ld.alias("link_density"),
+        ((mr > 0.5) | (ld > 0.3)).alias("is_boilerplate"),
+        "clean_text",
+    )
