@@ -147,6 +147,10 @@ HEADLINE = [
     "hll_distinct_sketch",
     "leakage_safe_split",
     "html_boilerplate_strip",
+    "link_graph_extract",
+    "url_canonicalize",
+    "quality_classifier_linear",
+    "kmv_set_ops",
 ]
 
 

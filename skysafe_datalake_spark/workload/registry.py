@@ -35,6 +35,7 @@ from skysafe_datalake_spark.workload import tpch  # noqa: E402,F401
 from skysafe_datalake_spark.workload import sketches  # noqa: E402,F401
 from skysafe_datalake_spark.workload import curation  # noqa: E402,F401
 from skysafe_datalake_spark.workload import pipeline  # noqa: E402,F401
+from skysafe_datalake_spark.workload import crawl  # noqa: E402,F401
 
 # The external correctness gate checks the FIRST 50 registered queries per
 # round, and the testdata it runs against is regenerated between rounds (its

@@ -531,3 +531,163 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hll_estimate"),
         )
     )
+
+
+# ──────────────────── KMV set-operation estimates ────────────────
+
+_KSO_K = 32
+_KSO_DIGITS = 12
+_KSO_SPACE = 16**_KSO_DIGITS
+
+_KSO_SQL = f"""
+WITH toks AS (
+  SELECT CASE WHEN length(source) = 4 THEN 'A' ELSE 'B' END AS corpus,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+items AS (
+  SELECT DISTINCT corpus, {hex_int_sql("md5(bigram)", _KSO_DIGITS)} AS h
+  FROM (
+    SELECT corpus,
+           unnest(list_transform(generate_series(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+    FROM toks WHERE len(ts) >= 2
+  )
+),
+sk AS (
+  SELECT corpus, h
+  FROM (SELECT corpus, h,
+               row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+        FROM items)
+  WHERE rn <= {_KSO_K}
+),
+u AS (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM sk)
+),
+flags AS (
+  SELECT u.h, u.rn,
+         MAX(CASE WHEN sk.corpus = 'A' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN sk.corpus = 'B' THEN 1 ELSE 0 END) AS in_b
+  FROM u JOIN sk ON sk.h = u.h
+  WHERE u.rn <= {_KSO_K}
+  GROUP BY u.h, u.rn
+),
+est AS (
+  SELECT CAST(COALESCE(
+           ({_KSO_K} - 1) * CAST({_KSO_SPACE} AS BIGINT)
+             // MAX(CASE WHEN rn = {_KSO_K} THEN h END),
+           COUNT(*)) AS BIGINT) AS est_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both
+  FROM flags
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(CASE WHEN n_corpora = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersection
+  FROM (SELECT h, COUNT(DISTINCT corpus) AS n_corpora FROM items GROUP BY h)
+)
+SELECT e.est_union,
+       CAST(e.k_both * e.est_union // {_KSO_K} AS BIGINT) AS est_intersection,
+       e.k_both,
+       x.exact_union,
+       x.exact_intersection
+FROM est e CROSS JOIN exact x
+"""
+
+
+@register("kmv_set_ops", _KSO_SQL)
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union / intersection cardinality estimates across two corpora
+    from their KMV sketches alone — the mergeability property that
+    makes KMV the sketch for cross-dataset overlap questions ("how
+    much does crawl B add over crawl A?") without ever co-shuffling
+    the raw sets. Corpus A = sources src0-9, B = src10-19; items are
+    distinct lowercased token bigrams.
+
+    Estimators (Beyer et al., SIGMOD'07): the k smallest of
+    sketch(A) ∪ sketch(B) IS the KMV sketch of A ∪ B, so
+    |A∪B| ≈ (k−1)·|space|/h_k on the merged sketch (a non-full merged
+    sketch is the exact union); Jaccard ≈ |both-flagged|/k over the
+    merged sketch's k elements, and |A∩B| = J·|A∪B| in integer math.
+    The exact union/intersection ride along as quality references.
+
+    Scale shape: everything after the two per-corpus k-smallest
+    selections (one shuffle on corpus, same as kmv_distinct_sketch)
+    touches ≤ 2k rows — the global windows and joins in the estimate
+    stage run on ≤ 64 rows by construction, which is the entire point
+    of sketch-merge set algebra at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.length("source") == 4, F.lit("A")).otherwise(F.lit("B")).alias(
+            "corpus"
+        ),
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+        ).alias("ts"),
+    ).where(F.size("ts") >= 2)
+    items = (
+        toks.select(
+            "corpus",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> concat(ts[i-1], ' ', ts[i]))"
+                )
+            ).alias("bigram"),
+        )
+        .select(
+            "corpus",
+            F.expr(hex_int_sql("md5(bigram)", _KSO_DIGITS)).alias("h"),
+        )
+        .distinct()
+    )
+    sk = (
+        items.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("corpus").orderBy("h"))
+        )
+        .where(F.col("rn") <= _KSO_K)
+        .select("corpus", "h")
+    )
+    # ≤ 2k rows from here on: the single-partition window is fine.
+    u = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rn") <= _KSO_K)
+    )
+    flags = u.join(sk, "h").groupBy("h", "rn").agg(
+        F.max(F.when(F.col("corpus") == "A", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("corpus") == "B", 1).otherwise(0)).alias("in_b"),
+    )
+    est = flags.agg(
+        F.coalesce(
+            F.expr(
+                f"(({_KSO_K} - 1) * cast({_KSO_SPACE} as bigint))"
+                f" div max(case when rn = {_KSO_K} then h end)"
+            ),
+            F.count(F.lit(1)),
+        )
+        .cast("bigint")
+        .alias("est_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("k_both"),
+    )
+    exact = (
+        items.groupBy("h")
+        .agg(F.countDistinct("corpus").alias("n_corpora"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum(F.when(F.col("n_corpora") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
+    return est.crossJoin(exact).select(
+        "est_union",
+        F.expr(f"cast(k_both * est_union div {_KSO_K} as bigint)").alias(
+            "est_intersection"
+        ),
+        "k_both",
+        "exact_union",
+        "exact_intersection",
+    )
