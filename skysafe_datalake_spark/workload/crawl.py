@@ -130,15 +130,15 @@ step AS (
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+              lower(regexp_extract(regexp_replace(url, '#.*$', '', 'g'),
                                    '^([^/]*//[^/]+)', 1))
-              || regexp_replace(regexp_replace(url, '#.*$', ''),
-                                '^[^/]*//[^/]+', ''),
-              '^(https?://)www\\.', '\\1'),
-            ':443(/|$)', '\\1'),
+              || regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+                                '^[^/]*//[^/]+', '', 'g'),
+              '^(https?://)www\\.', '\\1', 'g'),
+            ':443(/|$)', '\\1', 'g'),
           'utm_[^&]*&', '', 'g'),
-        '[?&]utm_[^&]*$', ''),
-      '/(\\?|$)', '\\1') AS canonical_url
+        '[?&]utm_[^&]*$', '', 'g'),
+      '/(\\?|$)', '\\1', 'g') AS canonical_url
   FROM raw
 )
 SELECT canonical_url,

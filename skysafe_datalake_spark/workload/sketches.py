@@ -578,7 +578,8 @@ est AS (
            ({_KSO_K} - 1) * CAST({_KSO_SPACE} AS BIGINT)
              // MAX(CASE WHEN rn = {_KSO_K} THEN h END),
            COUNT(*)) AS BIGINT) AS est_union,
-         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_both,
+         CAST(COUNT(*) AS BIGINT) AS merged_count
   FROM flags
 ),
 exact AS (
@@ -588,7 +589,9 @@ exact AS (
   FROM (SELECT h, COUNT(DISTINCT corpus) AS n_corpora FROM items GROUP BY h)
 )
 SELECT e.est_union,
-       CAST(e.k_both * e.est_union // {_KSO_K} AS BIGINT) AS est_intersection,
+       CAST(e.k_both * e.est_union
+              // GREATEST(1, LEAST({_KSO_K}, e.merged_count))
+            AS BIGINT) AS est_intersection,
        e.k_both,
        x.exact_union,
        x.exact_intersection
@@ -608,8 +611,13 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Estimators (Beyer et al., SIGMOD'07): the k smallest of
     sketch(A) ∪ sketch(B) IS the KMV sketch of A ∪ B, so
     |A∪B| ≈ (k−1)·|space|/h_k on the merged sketch (a non-full merged
-    sketch is the exact union); Jaccard ≈ |both-flagged|/k over the
-    merged sketch's k elements, and |A∩B| = J·|A∪B| in integer math.
+    sketch is the exact union); Jaccard ≈ |both-flagged|/|merged
+    sketch| over the merged sketch's min(k, merged-size) elements,
+    and |A∩B| = J·|A∪B| in integer math. Dividing by the MERGED
+    sketch size (not the fixed k) keeps the documented invariant
+    that a non-full merged sketch yields the EXACT intersection:
+    est_union collapses to merged_count there, so the ratio
+    k_both·merged_count/merged_count = k_both = exact overlap.
     The exact union/intersection ride along as quality references.
 
     Scale shape: everything after the two per-corpus k-smallest
@@ -671,6 +679,7 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_union"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("k_both"),
+        F.count(F.lit(1)).cast("bigint").alias("merged_count"),
     )
     exact = (
         items.groupBy("h")
@@ -684,9 +693,10 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.crossJoin(exact).select(
         "est_union",
-        F.expr(f"cast(k_both * est_union div {_KSO_K} as bigint)").alias(
-            "est_intersection"
-        ),
+        F.expr(
+            "cast(k_both * est_union"
+            f" div greatest(1, least({_KSO_K}, merged_count)) as bigint)"
+        ).alias("est_intersection"),
         "k_both",
         "exact_union",
         "exact_intersection",

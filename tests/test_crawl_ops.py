@@ -77,10 +77,43 @@ def test_quality_classifier_degenerate_words(spark, weird_docs_dir):
         assert r["is_high_quality"] == (r["iscore"] > 1)
 
 
-def test_kmv_set_ops_small_corpus_is_exact(spark, weird_docs_dir):
+@pytest.fixture(scope="module")
+def overlap_docs_dir(spark, tmp_path_factory):
+    """Two tiny corpora (A = 4-char sources, B = longer sources) that
+    SHARE bigrams, so the KMV exactness assertions below exercise a
+    nonzero intersection — a zero-overlap fixture made them vacuous
+    (0 == 0) and masked a Jaccard-denominator bug (fixed r4)."""
+    path = str(tmp_path_factory.mktemp("crawl_overlap") / "docs")
+    spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j k l m n", "src15", "en", 27),
+            (1, "spark join filter group sort merge window", "src3", "en", 41),
+            (2, "spark join filter group sort", "src15", "en", 28),
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(path + "/documents.parquet")
+    return path
+
+
+def test_kmv_set_ops_small_corpus_is_exact(spark, overlap_docs_dir):
     """With fewer distinct bigrams than k on both sides, every sketch
     is the complete set: the estimates must EQUAL the exact answers
-    (the KMV non-full-sketch rule)."""
+    (the KMV non-full-sketch rule) — including the intersection, which
+    here is the 4 bigrams docs 1 (corpus A) and 2 (corpus B) share."""
+    from skysafe_datalake_spark.workload.sketches import kmv_set_ops
+
+    row = kmv_set_ops(spark, overlap_docs_dir).collect()[0]
+    assert row["est_union"] == row["exact_union"]
+    assert row["est_intersection"] == row["exact_intersection"]
+    # 'spark join', 'join filter', 'filter group', 'group sort'
+    assert row["exact_intersection"] == 4
+
+
+def test_kmv_set_ops_disjoint_corpora(spark, weird_docs_dir):
+    """Zero-overlap corpora: estimates still equal exact answers and
+    the intersection estimate is exactly 0 (k_both = 0)."""
     from skysafe_datalake_spark.workload.sketches import kmv_set_ops
 
     row = kmv_set_ops(spark, weird_docs_dir).collect()[0]

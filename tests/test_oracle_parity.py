@@ -38,7 +38,7 @@ def _normalize(v):
         return "[" + ",".join(_normalize(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_normalize(x)}" for k, x in sorted(v.items())) + "}"
-    if v is None or v is pd.NaT:
+    if v is None or v is pd.NaT or v is pd.NA:
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
         return str(bool(v))
@@ -47,7 +47,13 @@ def _normalize(v):
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):
-            return "NULL"
+            # Distinct from "NULL": inside float64 columns pandas
+            # renders SQL NULL as NaN on BOTH sides (so the token
+            # choice can't break matching there), but in object-dtype
+            # cells (arrays, structs, mixed columns) None and float
+            # NaN are genuinely distinguishable — and a gate-predictor
+            # should be stricter than the gate, never looser.
+            return "NaN"
         return repr(f)  # full precision: we demand bit-identical doubles
     if isinstance(v, decimal.Decimal):
         return f"dec:{v}"
