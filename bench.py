@@ -18,10 +18,17 @@ Flags / env:
   --all                     bench every registered query, not just the
                             headline set (detail file only; the stdout
                             line stays headline-sized).
-  SPARK_GRAFT_SKIP_WARMUP=1 skip the sf0.001 warm-up pass (for
-                            time-budgeted driver runs; first-run codegen
-                            then lands on pass 1 and min-of-2 mostly
-                            absorbs it).
+  SPARK_GRAFT_FULL_WARMUP=1 warm up EVERY query at the smallest SF
+                            before timing (maximum-fidelity pass-1
+                            numbers; ~3 min extra wall). The default
+                            bootstrap warm-up primes only the shared
+                            JVM machinery — parquet reader, noop sink,
+                            shuffle, broadcast, streaming state store,
+                            MLlib — and lets min-of-passes absorb each
+                            query's own first-run codegen (the codegen
+                            cache is keyed on generated source, so
+                            pass 2 always reuses pass 1's classes).
+  SPARK_GRAFT_SKIP_WARMUP=1 skip warm-up entirely.
   SPARK_GRAFT_BENCH_PASSES  timed passes (default 2, min of passes).
 """
 
@@ -150,18 +157,29 @@ def main() -> None:
     headline = [n for n in HEADLINE if n in QUERIES]
     names = list(QUERIES) if run_all else headline
 
-    # Warm-up pass at the smallest SF: compiles every query's codegen
-    # stages, initializes the parquet reader / Hadoop FS / noop sink,
-    # and JITs the hot loops, so the timed pass below measures the
+    # Warm-up at the smallest SF so the timed passes measure the
     # engine's steady-state throughput rather than one-time JVM setup
-    # billed to whichever query runs first (first-run penalty is
-    # ~4s of codegen on the widest plans). The warm-up dir is derived
-    # from SF_DIR (sibling smallest sf*), overridable via
-    # SPARK_GRAFT_WARM_DIR, and falls back to SF_DIR itself (which
-    # doubles bench wall time — hence the log line).
+    # billed to whichever query runs first. Default is a BOOTSTRAP
+    # warm-up: one representative per piece of shared machinery
+    # (parquet scan + noop sink + shuffle, broadcast join, streaming
+    # state store + file sink, MLlib). Per-query codegen is NOT
+    # pre-warmed — it lands on timed pass 1 and min-of-passes reports
+    # pass 2, which reuses pass 1's codegen cache — trading slightly
+    # noisier pass-1 samples for ~3 min of wall
+    # (SPARK_GRAFT_FULL_WARMUP=1 restores the full pre-warm). The
+    # warm-up dir is derived from SF_DIR (sibling smallest sf*),
+    # overridable via SPARK_GRAFT_WARM_DIR, and falls back to SF_DIR
+    # itself (which inflates warm-up wall time — hence the log line).
+    bootstrap = [
+        "pricing_summary",
+        "nn_station_join",
+        "streaming_dedup_watermark",
+        "skysafe_ml_pipeline",
+    ]
     if os.environ.get("SPARK_GRAFT_SKIP_WARMUP") == "1":
         print("# warm-up skipped (SPARK_GRAFT_SKIP_WARMUP=1)", file=sys.stderr)
     else:
+        full = os.environ.get("SPARK_GRAFT_FULL_WARMUP") == "1"
         warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR")
         if not warm_dir:
             parent = os.path.dirname(SF_DIR.rstrip("/"))
@@ -175,8 +193,15 @@ def main() -> None:
                 default=None,
             )
             warm_dir = os.path.join(parent, smallest) if smallest else SF_DIR
-        print(f"# warm-up dir: {warm_dir}", file=sys.stderr)
-        for name in names:
+        warm_names = names if full else [
+            n for n in bootstrap if n in QUERIES
+        ]
+        print(
+            f"# warm-up dir: {warm_dir} "
+            f"({'full' if full else 'bootstrap'}, {len(warm_names)} queries)",
+            file=sys.stderr,
+        )
+        for name in warm_names:
             QUERIES[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()

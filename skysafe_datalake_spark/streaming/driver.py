@@ -247,8 +247,12 @@ def interval_join_streams(
     row could still arrive. Consequence for replays/backfills: the
     final unmatched rows sit in state until some later batch advances
     the watermark past them — a terminating availableNow run must
-    push one watermark-advancing row through BOTH streams and run one
-    more trigger to flush them (see streaming_left_outer_join)."""
+    push one watermark-advancing sentinel through BOTH streams. When
+    the whole replay fits one data batch the sentinel can ride with
+    the data (the trailing no-data batch flushes state); if the replay
+    is split into multiple batches the sentinel needs a second pass on
+    the same checkpoint, or rows batched after it are dropped as late
+    (see streaming_left_outer_join)."""
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = right.withWatermark(right_ts, watermark)
     cond = (

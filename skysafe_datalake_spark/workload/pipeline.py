@@ -868,14 +868,19 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase are emitted null-padded — but a streaming outer join may
     only emit a null row after the global watermark proves no match
     can still arrive. That makes the replay protocol the interesting
-    part: a terminating availableNow pass leaves the last window's
-    unmatched rows parked in the state store, so this runs TWO
-    passes against one checkpoint (parquet sink — memory sinks can't
-    recover a checkpoint): pass 1 replays the real data, then a
-    far-future sentinel row is appended to BOTH input streams and
-    pass 2 advances the global watermark past all real event time,
-    flushing every surviving left row. The sentinel is filtered from
-    the result, which then equals the batch LEFT JOIN — the oracle.
+    part: a terminating availableNow pass would leave the last
+    window's unmatched rows parked in the state store, so a
+    far-future sentinel row is written into BOTH input streams
+    alongside the real data. The whole replay lands in ONE data
+    micro-batch (file source without maxFilesPerTrigger under
+    availableNow takes every available file at once), the sentinel
+    advances the post-batch watermark past all real event time, and
+    the trailing no-data batch flushes every surviving left row.
+    The sentinel is filtered from the result, which then equals the
+    batch LEFT JOIN — the oracle. CAUTION if this is ever split into
+    multiple data batches (a maxFilesPerTrigger option): the sentinel
+    must then move to a SECOND pass on the same checkpoint, or real
+    rows batched after it would be dropped as late.
 
     Scale shape: identical to the inner interval join (state hashed
     by user_id, eviction horizon from the interval bound); the
@@ -883,13 +888,12 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never terminates and ordinary event flow advances the watermark
     — the sentinel is purely a bounded-replay device.
 
-    Bench note: wall time is ~6 micro-batch cycles of state-commit
-    machinery (two replays, each with a data batch + watermark
-    no-data batch), NOT data volume — a measured single-pass
-    variant (sentinel pre-written, maxFilesPerTrigger batch split)
-    saved nothing, so the clearer two-pass protocol stays."""
-    import uuid
-
+    Bench note: the remaining wall time is ~3 micro-batch cycles of
+    state-commit machinery, not data volume. This single-pass
+    protocol replaced a two-pass one (pass 1 data, append sentinel,
+    pass 2 flush on the same checkpoint) — measured 12.6 s → 5.1 s
+    at sf0.1, identical output; checkpoints on tmpfs saved nothing
+    on top, so commit latency is CPU, not disk."""
     from skysafe_datalake_spark.streaming.driver import interval_join_streams
 
     e = load(spark, sf_dir, "events").select(
@@ -897,9 +901,9 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_sloj_")
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # 4, not 8: this query runs TWO passes, and every state-store
-    # instance pays setup/commit twice — halving the store count
-    # saves more than the lost parallelism costs at replay volume.
+    # Every shuffle partition owns 4 state-store instances in an
+    # outer interval join; at replay volume fewer stores beat the
+    # lost parallelism.
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         clicks_b = e.where(F.col("event_type") == "click").select(
@@ -912,59 +916,56 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        # Few input files: availableNow replays all files in one
-        # batch either way, but 32 task-sized splits per side just
-        # pay scheduling overhead on a bench-scale replay.
-        clicks_b.coalesce(4).write.parquet(f"{tmp}/clicks")
-        purchases_b.coalesce(4).write.parquet(f"{tmp}/purchases")
         flush_ts = e.agg(
             F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
         ).first()[0]  # 1-row scalar: sentinel past every real window
-
-        def run_pass() -> None:
-            clicks = spark.readStream.schema(
-                "click_id bigint, c_user bigint, c_ts timestamp"
-            ).parquet(f"{tmp}/clicks")
-            purchases = spark.readStream.schema(
-                "purchase_id bigint, p_user bigint, p_ts timestamp"
-            ).parquet(f"{tmp}/purchases")
-            joined = interval_join_streams(
-                clicks,
-                purchases,
-                left_key="c_user",
-                right_key="p_user",
-                left_ts="c_ts",
-                right_ts="p_ts",
-                watermark="1 hour",
-                within="30 minutes",
-                how="left_outer",
-            ).select(
-                "click_id",
-                "purchase_id",
-                F.col("c_user").alias("user_id"),
-                (
-                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
-                ).cast("bigint").alias("delay_s"),
-            )
-            q = (
-                joined.writeStream.format("parquet")
-                .option("path", f"{tmp}/out")
-                .option("checkpointLocation", f"{tmp}/ckpt")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-
-        run_pass()
-        spark.createDataFrame(
+        sent_c = spark.createDataFrame(
             [(-1, -1, flush_ts)],
             "click_id bigint, c_user bigint, c_ts timestamp",
-        ).coalesce(1).write.mode("append").parquet(f"{tmp}/clicks")
-        spark.createDataFrame(
+        )
+        sent_p = spark.createDataFrame(
             [(-1, -1, flush_ts)],
             "purchase_id bigint, p_user bigint, p_ts timestamp",
-        ).coalesce(1).write.mode("append").parquet(f"{tmp}/purchases")
-        run_pass()
+        )
+        # Few input files: availableNow replays all files in one
+        # batch either way, but 32 task-sized splits per side just
+        # pay scheduling overhead on a bench-scale replay.
+        clicks_b.unionByName(sent_c).coalesce(4).write.parquet(f"{tmp}/clicks")
+        purchases_b.unionByName(sent_p).coalesce(4).write.parquet(
+            f"{tmp}/purchases"
+        )
+        clicks = spark.readStream.schema(
+            "click_id bigint, c_user bigint, c_ts timestamp"
+        ).parquet(f"{tmp}/clicks")
+        purchases = spark.readStream.schema(
+            "purchase_id bigint, p_user bigint, p_ts timestamp"
+        ).parquet(f"{tmp}/purchases")
+        joined = interval_join_streams(
+            clicks,
+            purchases,
+            left_key="c_user",
+            right_key="p_user",
+            left_ts="c_ts",
+            right_ts="p_ts",
+            watermark="1 hour",
+            within="30 minutes",
+            how="left_outer",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            ).cast("bigint").alias("delay_s"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         out = (
             spark.read.parquet(f"{tmp}/out")
             .where(F.col("click_id") >= 0)
