@@ -44,6 +44,15 @@ _DEFAULTS: dict[str, str] = {
     # session keeps its own memory setting. Override via
     # SPARK_GRAFT_DRIVER_MEM.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # Whole-stage codegen classes are cached keyed on generated source
+    # (janino compile ≈ seconds for wide aggregates); the Spark default
+    # of 100 entries thrashes under this engine's 183-query workload —
+    # MEASURED: with 100 entries, `random_projection_reduce` pays its
+    # ~4 s compile on EVERY bench pass because ~60 intervening queries
+    # evict it; standalone (cache hit) it runs in 0.36 s. A long-lived
+    # session serving many distinct queries (exactly the 100 TB
+    # deployment shape) wants the compiled classes resident.
+    "spark.sql.codegen.cache.maxEntries": "10000",
 }
 
 

@@ -598,6 +598,11 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg is loop-invariant: fold it into the edge table ONCE so
+    # each iteration runs a single equi-join (edges ⋈ ranks) instead
+    # of re-joining deg every round (8 joins saved over 8 iterations).
+    edges = edges.join(deg, "src").select("src", "dst", "outdeg")
+    edges = edges.localCheckpoint(eager=False)
 
     n_nodes = nodes.count()
     base = _PR_TOTAL // n_nodes
@@ -606,7 +611,6 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, _PR_ITERS + 1):
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg.withColumnRenamed("src", "_dn"), F.col("_dn") == F.col("src"))
             .select(
                 F.col("dst"),
                 F.expr("r div outdeg").alias("c"),

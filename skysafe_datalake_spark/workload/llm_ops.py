@@ -1925,58 +1925,79 @@ def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     JL: entries ±1 drawn from md5('rp|d|j') — no stored matrix, any
     executor derives any entry, which is what makes the projection a
     zero-coordination map at 100 TB). Each output component is an
-    exact decimal sum over the 64 input dims, and the gate-visible
-    summary (per-vector output norm², integer micro-units) pins every
-    component through the sum of squares. Scale note, MEASURED: the
-    "obvious" production form — 16 per-row higher-order decimal
-    folds, no explode, no exchange — benches 2× SLOWER here (7.7 s
-    vs 4.5 s at sf0.1) because aggregate() lambdas over decimals
-    evaluate interpreted per element, while this explode + groupBy
-    shape rides Tungsten's vectorized hash aggregation end to end.
-    The slim (vec_id, j, term) shuffle is the price of staying on
-    the fast path, and it partitions perfectly."""
+    exact fixed-point sum over the 64 input dims, and the
+    gate-visible summary (per-vector output norm², integer
+    micro-units) pins every component through the sum of squares.
+
+    Scale notes, all MEASURED at sf0.1 (noop-write action):
+    - 16 per-row higher-order decimal folds (no explode, no
+      exchange) bench 2× slower than explode+groupBy — aggregate()
+      lambdas over decimals evaluate interpreted per element.
+    - The previous shape (explode × broadcast-16-j crossJoin,
+      decimal SUM per (vec_id, j)) cost 3.8 s: one md5 per
+      (row, d, j) — 16 per exploded row — and DECIMAL sum buffers,
+      which fall off Tungsten's vectorized hash-agg fast path.
+    - This shape: 0.96 s. The sign matrix is materialized ONCE as a
+      broadcast 64-row × 16-column table (1024 md5 calls total, not
+      per data row); each exploded row casts its value to
+      decimal(18,8) micro-units exactly once and the 16 component
+      sums are then BIGINT aggregations — vectorized hash agg end
+      to end, one shuffle keyed on vec_id carrying 16 bigint
+      partials. Bit-identical to the decimal-sum formulation
+      (verified value-for-value at sf0.001/0.01/0.1): the per-value
+      rounding still goes through the same double→decimal(18,8)
+      cast, and the exact bigint sum (≤ 6.4e9 « 2^53) divided by
+      1e8 in double rounds once, same as the decimal→double cast.
+      The oracle SQL keeps the decimal formulation."""
     emb = load(spark, sf_dir, "embeddings")
+    signs = spark.range(_RP_IN_DIM).select(F.col("id").alias("d"))
+    signs = signs.select(
+        "d",
+        *[
+            F.when(
+                F.expr(
+                    "CAST(conv(substr(md5(concat('rp|', CAST(d AS STRING),"
+                    f" '|{j}')), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias(f"s{j}")
+            for j in range(_RP_OUT_DIM)
+        ],
+    )
     dims = emb.select(
         "vec_id", F.posexplode("embedding").alias("d", "valf")
     ).select(
         "vec_id",
         F.col("d").cast("bigint").alias("d"),
-        F.col("valf").cast("double").alias("val"),
+        # Micro-units via the decimal(18,8) cast so per-value rounding
+        # is identical to summing decimals directly.
+        F.expr(
+            "cast(cast(cast(valf as double) as decimal(18,8))"
+            " * 100000000 as bigint)"
+        ).alias("u"),
     )
-    out = spark.range(_RP_OUT_DIM).select(F.col("id").alias("j"))
-    proj = (
-        dims.crossJoin(F.broadcast(out))
-        .select(
-            "vec_id",
-            "j",
-            (
-                F.col("val")
-                * F.when(
-                    F.expr(
-                        "CAST(conv(substr(md5(concat('rp|', CAST(d AS STRING),"
-                        " '|', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-                        " % 2 = 0"
-                    ),
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-            ).alias("term"),
-        )
-        .groupBy("vec_id", "j")
+    comp = (
+        dims.join(F.broadcast(signs), "d")
+        .groupBy("vec_id")
         .agg(
-            F.sum(F.col("term").cast("decimal(18,8)"))
-            .cast("double")
-            .alias("comp")
+            *[
+                F.sum(F.col("u") * F.col(f"s{j}")).alias(f"b{j}")
+                for j in range(_RP_OUT_DIM)
+            ]
         )
     )
-    return proj.groupBy("vec_id").agg(
-        F.count("*").cast("bigint").alias("out_dim"),
-        F.sum(
-            F.floor(F.col("comp") * F.col("comp") * 1000000.0 + 0.5).cast(
-                "bigint"
-            )
-        )
-        .cast("bigint")
-        .alias("norm_sq_e6"),
+    norm = None
+    for j in range(_RP_OUT_DIM):
+        c = F.col(f"b{j}").cast("double") / F.lit(100000000.0)
+        term = F.floor(c * c * 1000000.0 + 0.5).cast("bigint")
+        norm = term if norm is None else norm + term
+    return comp.select(
+        "vec_id",
+        F.lit(_RP_OUT_DIM).cast("bigint").alias("out_dim"),
+        norm.cast("bigint").alias("norm_sq_e6"),
     )
 
 
