@@ -71,6 +71,80 @@ NAMES = [
     "kcore_peel",
     "lateral_topn_per_key",
     "bag_set_operations",
+    # round-4 batch: the dedup/text family
+    "dedup_exact",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_keep_canonical",
+    "dedup_clusters",
+    "simhash_neardup_pairs",
+    "contamination_ngram_overlap",
+    "html_boilerplate_strip",
+    "text_quality",
+    "lang_id",
+    "token_count",
+    "unigram_logprob_score",
+    "lang_temperature_sample",
+    "weighted_sample_ares",
+    "mmr_diversity_rerank",
+    "quality_repetition",
+    "chunk_documents",
+    "bigram_topk",
+    "tfidf_top_terms",
+    # round-4 batch: embeddings / ANN
+    "similarity_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "embedding_crossdup",
+    "embedding_quantize",
+    "embedding_l2_normalize",
+    "random_projection_reduce",
+    # round-4 batch: crawl curation
+    "link_graph_extract",
+    "url_canonicalize",
+    "quality_classifier_linear",
+    # round-4 batch: relational / window
+    "grouping_cube",
+    "salted_skew_agg",
+    "pivot_wide",
+    "percentile_stats",
+    "join_multiway",
+    "window_rank_ties",
+    "window_moving_avg",
+    "unpivot_long",
+    "global_rank_ranged",
+    "json_nested_flatten",
+    "fuzzy_levenshtein_match",
+    "collect_ordered",
+    # round-4 batch: TPC-H remainder (join-heavy)
+    "tpch_q7_like",
+    "tpch_q8_like",
+    "tpch_q13_like",
+    "tpch_q18_like",
+    "tpch_q22_like",
+    # round-4 batch: eval / curation / stats
+    "auc_rank_eval",
+    "confusion_matrix_eval",
+    "calibration_bins",
+    "psi_drift_monitor",
+    "leakage_safe_split",
+    "golden_record_merge",
+    "dq_expectations",
+    "pii_redact",
+    "retention_cohorts",
+    "frequent_itempairs",
+    "seasonal_anomaly_baseline",
+    "chi2_independence",
+    "groupwise_zscore",
+    "event_pattern_match",
+    # round-4 batch: graph / ML / streaming representatives
+    "pagerank_integer",
+    "skysafe_ml_pipeline",
+    "streaming_windowed_counts",
+    "streaming_dedup_watermark",
 ]
 
 
@@ -104,11 +178,32 @@ def replicate(spark) -> None:
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         r = rep(df, cols)
         if t == "documents":
-            # make replica texts distinct so dedup/fingerprint group
-            # cardinalities grow honestly instead of 8x-duplicating
+            # Make replica texts GENUINELY distinct so dedup/fingerprint
+            # group cardinalities grow honestly. A plain " repN" suffix
+            # is not enough: all shingles except the last few survive,
+            # so every replica 8-group is a near-dup CLIQUE — at 8x the
+            # corpus is 87.5% duplicates and banded candidate joins do
+            # quadratically more REAL work (simhash_neardup_pairs hit
+            # 47x wall: ~64x more true candidate pairs, i.e. the
+            # operator was sub-linear in its actual input). Interleaving
+            # the replica tag into every 4th token breaks every 5-token
+            # shingle, so replica texts are far apart in Jaccard space
+            # and near-dup density stays constant as the corpus grows —
+            # the realistic web-corpus shape.
             r = r.withColumn(
                 "text",
-                F.concat(F.col("text"), F.lit(" rep"), (F.col("doc_id") / SHIFT).cast("long").cast("string")),
+                F.expr(
+                    # The tag must be unique PER DOC (r<doc_id>), not
+                    # per replica: a shared per-replica token inserted
+                    # into every doc creates new cross-doc shingle
+                    # overlap and fuses whole replicas into one giant
+                    # LSH bucket (measured: max minhash bucket 1146 →
+                    # 17001 instead of ~8×).
+                    "array_join(flatten(transform(split(text, ' '), "
+                    "(t, i) -> IF(i % 4 = 3, "
+                    "array(t, concat('r', CAST(doc_id AS STRING))), "
+                    "array(t)))), ' ')"
+                ),
             )
         r.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
     for t in ["region", "nation", "supplier", "part"]:
@@ -144,9 +239,19 @@ def timed(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     from skysafe_datalake_spark.session import get_spark
 
+    # Optional positional args: re-run only the named queries (after
+    # a harness or operator change) instead of the full ~35 min table.
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if subset:
+        unknown = [n for n in subset if n not in NAMES]
+        if unknown:
+            print(f"not in NAMES: {unknown}", file=sys.stderr)
+        NAMES[:] = [n for n in NAMES if n in subset]
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="scale-smoke", master=f"local[{cpus}]")
-    replicate(spark)
+    if os.environ.get("SPARK_GRAFT_SKIP_REPLICATE") != "1":
+        replicate(spark)
     small = timed(spark, SRC)
     big = timed(spark, DST)
     print(f"{'query':24s} {'1x':>7s} {f'{REPL}x':>7s} {'ratio':>6s}")

@@ -82,6 +82,16 @@ def _hash16(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint")
 
 
+def _hash_bits(col: Column, n_bits: int) -> Column:
+    """First ``n_bits`` of md5 as a bigint, 4 bits per hex char
+    (n_bits must be a multiple of 4, at most 60 so the value fits a
+    signed bigint). DuckDB twin: CAST('0x' || substr(md5(x),1,k) AS
+    BIGINT) with k = n_bits/4."""
+    if n_bits % 4 != 0 or not 4 <= n_bits <= 60:
+        raise ValueError(f"n_bits must be a multiple of 4 in [4,60], got {n_bits}")
+    return F.conv(F.substring(F.md5(col), 1, n_bits // 4), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -200,6 +210,81 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_drop_nonminimal(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    min_matching: int = 4,
+) -> DataFrame:
+    """Ids to DROP under keep-smallest-id LSH dedup — WITHOUT the
+    pair join, in work linear in the corpus.
+
+    Semantics (provably identical to filtering on
+    :func:`minhash_lsh_pairs` and dropping every ``b_id``): id b is
+    dropped iff some a < b (1) shares at least one band with b and
+    (2) matches b on >= ``min_matching`` of the ``n_hashes``
+    signature components.
+
+    The pair formulation is quadratic inside each band bucket, and
+    template-heavy corpora have buckets that GROW with the corpus
+    (a handful of globally-common shingles dominate the minima), so
+    at 8x data the candidate count grew 41x in the scale smoke. But
+    the drop DECISION only needs existence, and the predicate
+    decomposes exactly: "shares band p AND matches >= m" holds iff
+    the agreeing-component set contains band p's ``band_size``
+    components plus some (m - band_size)-subset of the rest. So for
+    each of the ``n_bands * C(n_hashes - band_size, m - band_size)``
+    component FAMILIES (60 for the 8/2/4 default), build the
+    concatenated key of the family's component values; b is dropped
+    iff some family bucket containing b has a smaller min id. Two
+    hash aggregations over ``n_families * n`` slim rows — no join,
+    no quadratic term, monster buckets cost the same as tiny ones.
+    """
+    from itertools import combinations
+
+    if min_matching < band_size:
+        raise ValueError(
+            f"min_matching={min_matching} < band_size={band_size}: every "
+            "shared band already implies band_size matches"
+        )
+    n_bands = n_hashes // band_size
+    extra = min_matching - band_size
+    families = []
+    for p in range(n_bands):
+        band_comps = list(range(p * band_size, (p + 1) * band_size))
+        rest = [i for i in range(n_hashes) if i not in band_comps]
+        for combo in combinations(rest, extra):
+            families.append((p, band_comps + list(combo)))
+    if len(families) > 512:
+        raise ValueError(
+            f"{len(families)} component families (n_hashes={n_hashes}, "
+            f"band_size={band_size}, min_matching={min_matching}); use "
+            "minhash_lsh_pairs for configurations this wide"
+        )
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(str(fid)), *[F.col(f"mh{i}") for i in comps]
+            )
+            for fid, (_, comps) in enumerate(families)
+        ]
+    )
+    # The family table feeds BOTH the bucket-min aggregation and the
+    # join-back; materialize the (cheap, slim) signature table once so
+    # shingle+md5 signature derivation doesn't run twice.
+    signatures = signatures.localCheckpoint(eager=False)
+    fam = signatures.select(F.col(id_col), F.explode(keys).alias("fam_key"))
+    mins = fam.groupBy("fam_key").agg(F.min(id_col).alias("fam_min"))
+    return (
+        fam.join(mins, ["fam_key"])
+        .filter(F.col("fam_min") < F.col(id_col))
+        .select(id_col)
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, *, n_bits: int = 16
 ) -> DataFrame:
@@ -212,7 +297,7 @@ def simhash(
     """
     tokens = spread_to_cores(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
-    ).withColumn("h", _hash16(F.col("tok")))
+    ).withColumn("h", _hash_bits(F.col("tok"), n_bits))
     contrib = tokens.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),

@@ -137,12 +137,12 @@ WITH toks AS (
   FROM documents
 ),
 th AS (
-  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
   FROM toks
 ),
 bits AS (
   SELECT doc_id, i AS bit, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS c
-  FROM th, unnest(generate_series(0, 15)) AS t(i)
+  FROM th, unnest(generate_series(0, 59)) AS t(i)
 ),
 sums AS (SELECT doc_id, bit, SUM(c) AS s FROM bits GROUP BY doc_id, bit)
 SELECT doc_id,
@@ -151,10 +151,15 @@ FROM sums GROUP BY doc_id
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit frequency-weighted SimHash fingerprints (near-dups
-    differ in few bits)."""
+    """60-bit frequency-weighted SimHash fingerprints (near-dups
+    differ in few bits). 60 bits, not 16: with 4-bit blocking bands a
+    16-bit fingerprint has only 4*16 = 64 possible band keys TOTAL,
+    so the banded candidate join degenerates to all-pairs/16 at any
+    real corpus size (the 8x scale smoke measured 785M candidates on
+    40k docs). 15-bit bands give 4*32768 keys and candidates that
+    track the true near-dup density."""
     docs = load(spark, sf_dir, "documents")
-    return D.simhash(docs, "doc_id", "text", n_bits=16)
+    return D.simhash(docs, "doc_id", "text", n_bits=60)
 
 
 @register(
@@ -809,12 +814,12 @@ toks AS (
   FROM documents
 ),
 th AS (
-  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) AS h
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
   FROM toks
 ),
 bits AS (
   SELECT doc_id, i AS bit, CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END AS c
-  FROM th, unnest(generate_series(0, 15)) AS t(i)
+  FROM th, unnest(generate_series(0, 59)) AS t(i)
 ),
 sums AS (SELECT doc_id, bit, SUM(c) AS s FROM bits GROUP BY doc_id, bit),
 sig AS (
@@ -831,7 +836,7 @@ sig AS (
 WITH {_SIMHASH_SIG_SQL},
 banded AS (
   SELECT doc_id, simhash,
-         unnest([{", ".join(f"concat('{b}|', CAST((simhash >> {4 * b}) & 15 AS VARCHAR))" for b in range(4))}]) AS band_key
+         unnest([{", ".join(f"concat('{b}|', CAST((simhash >> {15 * b}) & 32767 AS VARCHAR))" for b in range(4))}]) AS band_key
   FROM sig
 )
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -843,14 +848,21 @@ WHERE a.doc_id < b.doc_id
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRING (completes the fingerprint family):
-    4 disjoint 4-bit bands block the candidates — pigeonhole
+    4 disjoint 15-bit bands block the candidates — pigeonhole
     guarantees any pair within Hamming distance 3 shares a band —
     then exact bit_count(xor) verifies. Candidate-then-verify, like
-    MinHash-LSH, never all-pairs."""
+    MinHash-LSH, never all-pairs. The fingerprint is 60-bit: with
+    4-BIT bands the key space is 64 values total and the "blocked"
+    join is all-pairs/16 at any corpus size (the 8x scale smoke
+    caught exactly that — 785M candidates on 40k docs); 15-bit bands
+    make candidates track true near-dup density. Output is the pair
+    LIST, so true near-dup cliques still cost their own output size
+    — use ``dedup_keep_canonical``'s linear family decomposition
+    when only the keep/drop decision is needed."""
     docs = load(spark, sf_dir, "documents")
-    sigs = D.simhash(docs, "doc_id", "text", n_bits=16)
+    sigs = D.simhash(docs, "doc_id", "text", n_bits=60)
     return D.simhash_neardup_pairs(
-        sigs, "doc_id", n_bits=16, n_bands=4, max_hamming=3
+        sigs, "doc_id", n_bits=60, n_bands=4, max_hamming=3
     )
 
 
@@ -1260,14 +1272,20 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge to some smaller id with >= the chain's similarity. For
     exact cluster-canonical semantics under sparser edge sets, feed
     ``dedup_clusters``' components into the same anti-join instead.
-    Scale shape: LSH equi-join (never all-pairs) + a broadcast-able
-    drop-list anti-join (|drops| << |corpus| at web dedup rates)."""
+    Scale shape: the drop list comes from
+    ``operators.dedup.minhash_drop_nonminimal`` — the component-family
+    decomposition that answers "does a smaller-id candidate exist"
+    with two linear hash aggregations and NO pair join (the banded
+    pair join is quadratic inside each bucket, and the 8x scale smoke
+    measured template-corpus buckets growing with the corpus: 41x
+    candidates at 8x data, 19x wall; this path is provably
+    output-identical and O(60·n)) + a broadcast-able drop-list
+    anti-join (|drops| << |corpus| at web dedup rates)."""
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=_N_HASHES)
-    pairs = D.minhash_lsh_pairs(
+    drops = D.minhash_drop_nonminimal(
         sigs, "doc_id", n_hashes=_N_HASHES, band_size=2, min_matching=4
     )
-    drops = pairs.select(F.col("b_id").alias("doc_id")).distinct()
     return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
