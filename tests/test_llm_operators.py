@@ -55,6 +55,51 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert (0, 3) not in found and (0, 4) not in found
 
 
+def test_minhash_drop_nonminimal_equals_pair_formulation(spark):
+    """The linear family decomposition must be OUTPUT-IDENTICAL to
+    'drop every b_id of minhash_lsh_pairs' — including on adversarial
+    shapes: exact-dup cliques (every component matches), docs that
+    share exactly one band but fail verification (matches < 4), and
+    docs matching 4 components spread one-per-band (never candidates
+    because no full band agrees)."""
+    import random
+
+    rnd = random.Random(7)
+    vocab = BASE.split()
+    rows = []
+    for i in range(60):
+        if i % 5 == 0:
+            rows.append((i, BASE))  # big exact-dup clique
+        elif i % 5 == 1:
+            w = list(vocab)
+            w[rnd.randrange(len(w))] = "mut%d" % i
+            rows.append((i, " ".join(w)))  # near dups of the clique
+        else:
+            rows.append(
+                (i, " ".join(rnd.choice(vocab) for _ in range(30)) + " u%d" % i)
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", n_hashes=8)
+    pairs = D.minhash_lsh_pairs(
+        sigs, "doc_id", n_hashes=8, band_size=2, min_matching=4
+    )
+    old = {r["b_id"] for r in pairs.select("b_id").distinct().collect()}
+    new = {
+        r["doc_id"]
+        for r in D.minhash_drop_nonminimal(
+            sigs, "doc_id", n_hashes=8, band_size=2, min_matching=4
+        ).collect()
+    }
+    assert old == new
+    assert old, "fixture must actually produce drops"
+
+
+def test_minhash_drop_nonminimal_rejects_infeasible_config():
+    # min_matching below band_size is a configuration error
+    with pytest.raises(ValueError):
+        D.minhash_drop_nonminimal(None, "id", n_hashes=8, band_size=4, min_matching=3)
+
+
 def test_simhash_near_dups_have_small_hamming_distance(docs):
     out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "doc_id", "text").collect()}
     assert out[0] == out[1]
