@@ -145,6 +145,19 @@ NAMES = [
     "skysafe_ml_pipeline",
     "streaming_windowed_counts",
     "streaming_dedup_watermark",
+    # round-4 second batch: join/window/sketch shapes not yet covered
+    "dedup_minhash_lsh",
+    "hll_distinct_sketch",
+    "kmv_set_ops",
+    "join_theta_range",
+    "ohlc_bars",
+    "session_window_agg",
+    "pit_join_scd2",
+    "asof_join_forward_tol",
+    "nn_station_topk",
+    "subquery_exists",
+    "window_range_frame",
+    "tpch_q2_like",
 ]
 
 

@@ -1661,10 +1661,21 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames (all points in one hour ⇒ zero variance) surface as NULL
     slope via the guard, not a division blowup.
 
-    Scale: one shuffle on event_type, one sort per partition, every
-    frame sum computed incrementally by the window operator — no
-    self-join against the trailing window, which is the naive
-    formulation's quadratic trap."""
+    Scale: the frame is defined at HOUR granularity, so every event in
+    the same (type, hour) cell shares one frame — the five sufficient
+    statistics are pre-aggregated per cell in a fully parallel hash
+    aggregation (map-side combine; ~28× row reduction on the synthetic
+    shape, more when events cluster), the window operator then runs
+    over the compact hourly series (one sort over thousands of rows,
+    not millions), and per-event rows get their frame stats back via a
+    parallel equi-join on (type, hour). This keeps the serial part of
+    the low-cardinality PARTITION BY — the classic window bottleneck:
+    event_type has a handful of values, so WindowExec parallelism is
+    capped at that handful — proportional to distinct hours rather
+    than raw events. Decimal partial sums re-aggregate exactly
+    (decimal addition is associative), so results are bit-identical to
+    the direct per-event window. No self-join against the trailing
+    window, which is the naive formulation's quadratic trap."""
     e = load(spark, sf_dir, "events")
     pts = e.select(
         "event_type",
@@ -1674,29 +1685,32 @@ def rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("y"),
         "event_id",
     )
+    hourly = pts.groupBy("event_type", "x").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.col("y").cast("decimal(18,2)")).alias("sy_h"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,4)")).alias(
+            "sxy_h"
+        ),
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("x")
         .rangeBetween(-168, Window.currentRow)
     )
-    framed = pts.select(
+    framed = hourly.select(
         "event_type",
         "x",
-        "event_id",
-        F.count("*").over(w).cast("bigint").alias("n"),
-        F.sum("x").over(w).cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
-        F.sum(F.col("y").cast("decimal(18,2)"))
+        F.sum("cnt").over(w).cast("bigint").alias("n"),
+        F.sum(F.col("x") * F.col("cnt")).over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x") * F.col("cnt"))
         .over(w)
-        .cast("double")
-        .alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(18,4)"))
-        .over(w)
-        .cast("double")
-        .alias("sxy"),
+        .cast("bigint")
+        .alias("sxx"),
+        F.sum("sy_h").over(w).cast("double").alias("sy"),
+        F.sum("sxy_h").over(w).cast("double").alias("sxy"),
     )
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    return framed.select(
+    return pts.join(framed, ["event_type", "x"]).select(
         "event_type",
         "x",
         "event_id",
