@@ -147,6 +147,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     min_matching: int = 4,
+    salt_groups: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs from MinHash signatures.
 
@@ -157,6 +158,22 @@ def minhash_lsh_pairs(
     number of matching signature components and kept when
     ``n_matching >= min_matching`` (estimated Jaccard ≥
     min_matching / n_hashes).
+
+    ``salt_groups``: hot-bucket skew split for the band self-join.
+    On dup-heavy corpora a few band keys collect thousands of docs
+    (the 8x scale smoke measures a 6.7k-doc bucket on 40k docs —
+    boilerplate-dominated minima), and pair generation inside one
+    bucket is |bucket|². While the banded table fits the broadcast
+    threshold that work parallelizes for free across probe-side
+    partitions, but at corpus sizes where the join must shuffle, one
+    band key = one task = one straggler owning the whole |bucket|².
+    With ``salt_groups=G`` the probe side is split into G groups by
+    id hash and the build side replicated G times, so the join key
+    becomes (band_key, group) and each hot bucket spreads over G
+    tasks. Output is row-identical (every a<b pair appears in
+    exactly one group — a's); cost is G× build-side exchange volume,
+    which is why it is opt-in rather than the default on the
+    broadcastable sizes bench.py measures.
     """
     # The signature table feeds the self-join AND the scoring joins;
     # materialize once via lazy localCheckpoint (blocks are freed by
@@ -180,12 +197,19 @@ def minhash_lsh_pairs(
     # signatures through the join would multiply the exchanged bytes
     # by n_hashes for rows that mostly dedup away.
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("band_key"))
-    pairs = (
-        banded.select(F.col("band_key"), F.col(id_col).alias("a_id"))
-        .join(
-            banded.select(F.col("band_key"), F.col(id_col).alias("b_id")),
-            ["band_key"],
+    probe = banded.select(F.col("band_key"), F.col(id_col).alias("a_id"))
+    build = banded.select(F.col("band_key"), F.col(id_col).alias("b_id"))
+    join_keys = ["band_key"]
+    if salt_groups and salt_groups > 1:
+        g = F.lit(salt_groups)
+        probe = probe.withColumn("_g", F.pmod(F.hash("a_id"), g).cast("int"))
+        groups = signatures.sparkSession.range(salt_groups).select(
+            F.col("id").cast("int").alias("_g")
         )
+        build = build.crossJoin(F.broadcast(groups))
+        join_keys = ["band_key", "_g"]
+    pairs = (
+        probe.join(build, join_keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])

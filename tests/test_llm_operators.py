@@ -94,6 +94,38 @@ def test_minhash_drop_nonminimal_equals_pair_formulation(spark):
     assert old, "fixture must actually produce drops"
 
 
+def test_minhash_lsh_salted_join_is_output_identical(spark):
+    """salt_groups=G must be row-identical to the unsalted join
+    (each a<b pair lands in exactly one group — a's) — exercised on a
+    clique-heavy fixture so hot buckets actually exist, and with the
+    broadcast threshold disabled so the salted path runs the shuffled
+    join shape it is designed for (one hot band key no longer maps to
+    a single shuffle partition: the join key is (band_key, group))."""
+    rows = [(i, BASE if i % 3 else BASE.replace("dog", "pup%d" % i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", n_hashes=8)
+
+    def run():
+        plain = D.minhash_lsh_pairs(sigs, "doc_id", n_hashes=8, min_matching=4)
+        salted = D.minhash_lsh_pairs(
+            sigs, "doc_id", n_hashes=8, min_matching=4, salt_groups=8
+        )
+        return (
+            sorted(map(tuple, plain.collect())),
+            sorted(map(tuple, salted.collect())),
+        )
+
+    p1, s1 = run()
+    assert p1 == s1 and len(p1) > 100  # clique fixture: real pair volume
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p2, s2 = run()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert p1 == p2 == s2
+
+
 def test_minhash_drop_nonminimal_rejects_infeasible_config():
     # min_matching below band_size is a configuration error
     with pytest.raises(ValueError):
