@@ -90,6 +90,28 @@ def test_asof_join_single_window_pass(spark):
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
 
 
+def test_rolling_ols_window_runs_on_hourly_cells(spark):
+    """The 168-hour range frame partitions by low-cardinality
+    event_type, so WindowExec parallelism is capped at a handful of
+    tasks — the plan must feed it the PRE-AGGREGATED hourly series
+    (HashAggregate below the Window), never the raw event stream,
+    and attach frame stats back to events via an equi-join."""
+    plan = plan_of(spark, "rolling_ols_slope")
+    w = plan.find("(1) Scan")  # formatted plan lists ops in order
+    win = re.search(r"^\(\d+\) Window", plan, re.M)
+    assert win is not None
+    # a hash aggregate (the hourly fold) must appear in the window's
+    # input subtree: cheap structural proxy — at least two
+    # HashAggregate ops (partial+final) precede the Window node
+    aggs_before = [
+        m
+        for m in re.finditer(r"^\(\d+\) HashAggregate", plan, re.M)
+        if m.start() < win.start()
+    ]
+    assert len(aggs_before) >= 2, plan[:2000]
+    assert w >= 0
+
+
 def test_hot_expressions_stay_in_codegen(spark):
     """Text analysis runs entirely inside whole-stage codegen — no
     Python/UDF boundary in the hot path."""
