@@ -134,13 +134,30 @@ def _sf_value(dirname: str) -> float | None:
 
 
 def _round_number(repo_root: str) -> int:
-    """Infer the current round: 1 + max N over driver-written r{N} files."""
-    best = 0
+    """Current round number, for naming the BENCH_DETAIL file.
+
+    Honors SPARK_GRAFT_ROUND when the driver exports it. Otherwise
+    infer from the r{N} files the driver writes — with care for WHEN
+    the driver runs bench: it records CORRECTNESS_r{N} first, then
+    runs bench and stores the stdout line as BENCH_r{N}. So a
+    CORRECTNESS_r{N} without a matching BENCH_r{N} means this process
+    IS the round-N driver bench (the naive max+1 here mislabeled the
+    round-4 driver detail as r05). When both exist for the max round,
+    that round is finished and we're a builder run in round N+1.
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND", "")
+    if env.isdigit():
+        return int(env)
+    bench: set[int] = set()
+    corr: set[int] = set()
     for fname in os.listdir(repo_root):
-        m = re.match(r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", fname)
+        m = re.match(r"(BENCH|CORRECTNESS)_r(\d+)\.json$", fname)
         if m:
-            best = max(best, int(m.group(1)))
-    return best + 1
+            (bench if m.group(1) == "BENCH" else corr).add(int(m.group(2)))
+    latest = max(bench | corr, default=0)
+    if latest in corr and latest not in bench:
+        return latest
+    return latest + 1
 
 
 def main() -> None:

@@ -18,8 +18,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DST = "/tmp/sparkgraft_sf0.8"
-REPL = 8
+# SPARK_GRAFT_SMOKE_REPL=64 runs the deeper spot check that separates
+# n-log-n from quadratic-with-small-constant growth (8x can't).
+REPL = int(os.environ.get("SPARK_GRAFT_SMOKE_REPL", "8"))
+DST = f"/tmp/sparkgraft_sf0.{REPL}"
 SHIFT = 10_000_000
 NAMES = [
     "pricing_summary",
@@ -158,6 +160,68 @@ NAMES = [
     "subquery_exists",
     "window_range_frame",
     "tpch_q2_like",
+    # round-5 batch: complete the registry sweep (every remaining
+    # query, mostly single-shuffle batteries plus the streaming
+    # matrix and pipeline composites that had never been scale-smoked)
+    "window_running_sum",
+    "topk_global",
+    "join_left_outer",
+    "join_semi_anti",
+    "set_operations",
+    "conditional_decode",
+    "datetime_bucketing",
+    "string_cleaning",
+    "json_extraction",
+    "anomaly_threshold",
+    "multimodal_manifest",
+    "dataset_split",
+    "stratified_sample",
+    "subquery_scalar",
+    "skysafe_enriched",
+    "keyed_upsert_latest",
+    "multimodal_byte_features",
+    "multimodal_frame_sample",
+    "gap_detect",
+    "decode_map_join",
+    "array_functions",
+    "window_navigation",
+    "string_functions",
+    "datetime_functions",
+    "stats_correlation",
+    "histogram_fixed_width",
+    "terms_agg_topn",
+    "gap_fill_forward",
+    "join_full_outer",
+    "profile_table",
+    "scd2_intervals",
+    "iqr_outlier_filter",
+    "batch_pipeline_e2e",
+    "ml_rules_fallback",
+    "phase_rules_labels",
+    "streaming_upsert_partitioned",
+    "null_semantics",
+    "grouping_sets_custom",
+    "try_arithmetic",
+    "filter_project",
+    "count_distinct",
+    "grouping_rollup",
+    "tpch_q15_like",
+    "tpch_q20_like",
+    "tpch_q4_like",
+    "tpch_q6_like",
+    "tpch_q10_like",
+    "tpch_q11_like",
+    "tpch_q12_like",
+    "tpch_q14_like",
+    "cdc_apply_roundtrip",
+    "ml_kmeans_strata",
+    "streaming_static_join",
+    "streaming_stateful_running_agg",
+    "streaming_interval_join",
+    "streaming_left_outer_join",
+    "schema_evolution_read",
+    "multi_format_union",
+    "streaming_full_outer_join",
 ]
 
 
@@ -258,7 +322,10 @@ def main() -> None:
     if subset:
         unknown = [n for n in subset if n not in NAMES]
         if unknown:
+            # Fail fast: an all-typo subset would otherwise pay the
+            # full 8x replicate() before timing zero queries.
             print(f"not in NAMES: {unknown}", file=sys.stderr)
+            sys.exit(2)
         NAMES[:] = [n for n in NAMES if n in subset]
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

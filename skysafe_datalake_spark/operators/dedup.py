@@ -140,6 +140,27 @@ def minhash_signatures(
     return with_digest.groupBy(id_col).agg(*aggs)
 
 
+def _parse_size_bytes(s: str) -> int:
+    """Parse a Spark size conf value ("10485760", "10485760b",
+    "10MB", "-1") to bytes."""
+    s = s.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    for suffix in sorted(units, key=len, reverse=True):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * units[suffix])
+    return int(float(s))
+
+
+# Auto-salting constants: the group count that measured the straggler
+# win in the 8x smoke (39-56 s -> 22-26 s with broadcast disabled),
+# and the estimated exchanged bytes per (band_key string, id) row
+# (UnsafeRow: 8B null bits + 8B id + 16B string field+offset ~ 48B
+# with the ~23-char band key payload).
+_AUTO_SALT_GROUPS = 8
+_BANDED_ROW_BYTES = 48
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -147,7 +168,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     min_matching: int = 4,
-    salt_groups: int | None = None,
+    salt_groups: int | str | None = "auto",
 ) -> DataFrame:
     """LSH candidate pairs from MinHash signatures.
 
@@ -172,8 +193,22 @@ def minhash_lsh_pairs(
     becomes (band_key, group) and each hot bucket spreads over G
     tasks. Output is row-identical (every a<b pair appears in
     exactly one group — a's); cost is G× build-side exchange volume,
-    which is why it is opt-in rather than the default on the
-    broadcastable sizes bench.py measures.
+    which is why broadcastable sizes should NOT salt.
+
+    ``salt_groups="auto"`` (the default) makes that call for you:
+    estimate the banded table's exchanged bytes (row count × bands ×
+    ~48 B/row) against the session's autoBroadcastJoinThreshold — the
+    same comparison AQE makes at runtime when it picks broadcast vs
+    shuffled join (the checkpointed plan has no Catalyst stats, so
+    the physical strategy is decided adaptively from materialized
+    sizes). Under the threshold the join broadcasts and hot buckets
+    parallelize across probe partitions for free — no salt; over it
+    (or with broadcast disabled) the join shuffles and gets
+    ``salt_groups=8``, the measured straggler win. The row count
+    comes from a count() on the lazily-checkpointed signature table,
+    so the expensive shingle+md5 derivation is materialized once and
+    reused by the joins — the decision costs one cheap job, not a
+    recompute. Pass an int to force, ``None`` to never salt.
     """
     # The signature table feeds the self-join AND the scoring joins;
     # materialize once via lazy localCheckpoint (blocks are freed by
@@ -181,6 +216,17 @@ def minhash_lsh_pairs(
     # entries would leak in the CacheManager across batch runs).
     signatures = signatures.localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
+    if salt_groups == "auto":
+        threshold = _parse_size_bytes(
+            signatures.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        if threshold <= 0:
+            salt_groups = _AUTO_SALT_GROUPS  # broadcast off: join shuffles
+        else:
+            est = signatures.count() * n_bands * _BANDED_ROW_BYTES
+            salt_groups = _AUTO_SALT_GROUPS if est > threshold else None
     bands = F.array(
         *[
             F.concat_ws(
@@ -272,6 +318,16 @@ def minhash_drop_nonminimal(
         raise ValueError(
             f"min_matching={min_matching} < band_size={band_size}: every "
             "shared band already implies band_size matches"
+        )
+    if min_matching > n_hashes:
+        # No pair can match more components than exist; the families
+        # list would be empty and the F.array() below zero-width. The
+        # empty drop set IS the right answer, but reaching it through
+        # explode-of-empty-array is incidental — reject the degenerate
+        # configuration instead.
+        raise ValueError(
+            f"min_matching={min_matching} > n_hashes={n_hashes}: "
+            "unsatisfiable — no pair can ever match"
         )
     n_bands = n_hashes // band_size
     extra = min_matching - band_size

@@ -52,6 +52,11 @@ _DEFAULTS: dict[str, str] = {
     # evict it; standalone (cache hit) it runs in 0.36 s. A long-lived
     # session serving many distinct queries (exactly the 100 TB
     # deployment shape) wants the compiled classes resident.
+    # STATIC SQL conf: like spark.driver.memory above, it only takes
+    # effect when this factory actually creates the JVM. getOrCreate()
+    # against a session some other harness built first silently keeps
+    # the 100-entry default — embedded contexts that care must set it
+    # before their first SparkSession.
     "spark.sql.codegen.cache.maxEntries": "10000",
 }
 

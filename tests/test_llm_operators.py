@@ -106,7 +106,9 @@ def test_minhash_lsh_salted_join_is_output_identical(spark):
     sigs = D.minhash_signatures(df, "doc_id", "text", n_hashes=8)
 
     def run():
-        plain = D.minhash_lsh_pairs(sigs, "doc_id", n_hashes=8, min_matching=4)
+        plain = D.minhash_lsh_pairs(
+            sigs, "doc_id", n_hashes=8, min_matching=4, salt_groups=None
+        )
         salted = D.minhash_lsh_pairs(
             sigs, "doc_id", n_hashes=8, min_matching=4, salt_groups=8
         )
@@ -126,10 +128,61 @@ def test_minhash_lsh_salted_join_is_output_identical(spark):
     assert p1 == p2 == s2
 
 
+def _optimized_plan(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_minhash_lsh_auto_salt_decision_and_identity(spark):
+    """salt_groups='auto' (the default) must salt exactly when the
+    banded table would outgrow the broadcast threshold — verified
+    structurally (the salting `_g` key appears in the optimized plan
+    iff salting engaged) — and the output must be row-identical to
+    the explicit unsalted formulation either way."""
+    rows = [(i, BASE if i % 3 else BASE.replace("dog", "pup%d" % i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", n_hashes=8)
+    plain = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(
+                sigs, "doc_id", n_hashes=8, min_matching=4, salt_groups=None
+            ).collect(),
+        )
+    )
+
+    # 40 docs x 4 bands x 48 B ~ 7.7 kB << default 10 MB: no salt
+    auto_small = D.minhash_lsh_pairs(sigs, "doc_id", n_hashes=8, min_matching=4)
+    assert "_g" not in _optimized_plan(auto_small)
+    assert sorted(map(tuple, auto_small.collect())) == plain
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Broadcast disabled: the band join must shuffle -> auto salts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        auto_shuffle = D.minhash_lsh_pairs(
+            sigs, "doc_id", n_hashes=8, min_matching=4
+        )
+        assert "_g" in _optimized_plan(auto_shuffle)
+        assert sorted(map(tuple, auto_shuffle.collect())) == plain
+        # Tiny positive threshold: estimate exceeds it -> auto salts
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        auto_tiny = D.minhash_lsh_pairs(
+            sigs, "doc_id", n_hashes=8, min_matching=4
+        )
+        assert "_g" in _optimized_plan(auto_tiny)
+        assert sorted(map(tuple, auto_tiny.collect())) == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_minhash_drop_nonminimal_rejects_infeasible_config():
     # min_matching below band_size is a configuration error
     with pytest.raises(ValueError):
         D.minhash_drop_nonminimal(None, "id", n_hashes=8, band_size=4, min_matching=3)
+    # min_matching above n_hashes is unsatisfiable (the empty drop set
+    # would be correct, but only via explode-of-empty-array — rejected)
+    with pytest.raises(ValueError):
+        D.minhash_drop_nonminimal(None, "id", n_hashes=8, band_size=2, min_matching=9)
 
 
 def test_simhash_near_dups_have_small_hamming_distance(docs):

@@ -97,7 +97,6 @@ def test_rolling_ols_window_runs_on_hourly_cells(spark):
     (HashAggregate below the Window), never the raw event stream,
     and attach frame stats back to events via an equi-join."""
     plan = plan_of(spark, "rolling_ols_slope")
-    w = plan.find("(1) Scan")  # formatted plan lists ops in order
     win = re.search(r"^\(\d+\) Window", plan, re.M)
     assert win is not None
     # a hash aggregate (the hourly fold) must appear in the window's
@@ -109,7 +108,6 @@ def test_rolling_ols_window_runs_on_hourly_cells(spark):
         if m.start() < win.start()
     ]
     assert len(aggs_before) >= 2, plan[:2000]
-    assert w >= 0
 
 
 def test_hot_expressions_stay_in_codegen(spark):
