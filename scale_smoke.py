@@ -21,7 +21,17 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # SPARK_GRAFT_SMOKE_REPL=64 runs the deeper spot check that separates
 # n-log-n from quadratic-with-small-constant growth (8x can't).
 REPL = int(os.environ.get("SPARK_GRAFT_SMOKE_REPL", "8"))
-DST = f"/tmp/sparkgraft_sf0.{REPL}"
+
+
+def _dst() -> str:
+    try:  # name the replica dir by its EFFECTIVE scale factor
+        base = float(SRC.rstrip("/").rsplit("sf", 1)[-1])
+        return f"/tmp/sparkgraft_sf{base * REPL:g}"
+    except ValueError:
+        return f"/tmp/sparkgraft_x{REPL}"
+
+
+DST = os.environ.get("SPARK_GRAFT_SMOKE_DST") or _dst()
 SHIFT = 10_000_000
 NAMES = [
     "pricing_summary",

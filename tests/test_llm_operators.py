@@ -94,6 +94,49 @@ def test_minhash_drop_nonminimal_equals_pair_formulation(spark):
     assert old, "fixture must actually produce drops"
 
 
+def test_minhash_incremental_drop_equals_pair_formulation(spark):
+    """The linear batch-vs-corpus drop decision must equal 'every
+    batch_id appearing in minhash_incremental_pairs' on the same
+    adversarial fixture shapes (cliques, one-band-only near-misses,
+    spread-component matches), with the batch containing both docs
+    that dup against the corpus and docs that don't."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = BASE.split()
+    rows = []
+    for i in range(80):
+        if i % 5 == 0:
+            rows.append((i, BASE))  # clique spanning batch and corpus
+        elif i % 5 == 1:
+            w = list(vocab)
+            w[rnd.randrange(len(w))] = "mut%d" % i
+            rows.append((i, " ".join(w)))  # near dups
+        else:
+            rows.append(
+                (i, " ".join(rnd.choice(vocab) for _ in range(30)) + " u%d" % i)
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", n_hashes=8)
+    batch = sigs.where(F.col("doc_id") % 4 == 0)
+    corpus = sigs.where(F.col("doc_id") % 4 != 0)
+    pairs = D.minhash_incremental_pairs(
+        corpus, batch, "doc_id", n_hashes=8, band_size=2, min_matching=4
+    )
+    old = {r["batch_id"] for r in pairs.select("batch_id").distinct().collect()}
+    new = {
+        r["doc_id"]
+        for r in D.minhash_incremental_drop(
+            corpus, batch, "doc_id", n_hashes=8, band_size=2, min_matching=4
+        ).collect()
+    }
+    assert old == new
+    assert old, "fixture must actually produce drops"
+    # and some batch docs must survive, or the test proves too little
+    n_batch = batch.count()
+    assert len(old) < n_batch
+
+
 def test_minhash_lsh_salted_join_is_output_identical(spark):
     """salt_groups=G must be row-identical to the unsalted join
     (each a<b pair lands in exactly one group — a's) — exercised on a
