@@ -218,6 +218,16 @@ def test_minhash_lsh_auto_salt_decision_and_identity(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_parse_size_bytes_handles_spark_conf_forms():
+    # The forms Spark actually returns for autoBroadcastJoinThreshold
+    assert D._parse_size_bytes("10485760") == 10 << 20
+    assert D._parse_size_bytes("10485760b") == 10 << 20
+    assert D._parse_size_bytes("10MB") == 10 << 20
+    assert D._parse_size_bytes("512k") == 512 << 10
+    assert D._parse_size_bytes("1g") == 1 << 30
+    assert D._parse_size_bytes("-1") == -1  # broadcast disabled
+
+
 def test_minhash_drop_nonminimal_rejects_infeasible_config():
     # min_matching below band_size is a configuration error
     with pytest.raises(ValueError):
