@@ -153,6 +153,40 @@ def sessionize_stream(
     )
 
 
+def stateful_shuffle_partitions(
+    batch_df: DataFrame,
+    *,
+    rows_per_store: int = 200_000,
+    lo: int = 8,
+    hi: int = 128,
+) -> int:
+    """Shuffle-partition count for a STATEFUL streaming query, sized
+    to the stream's input volume.
+
+    Every shuffle partition of a stateful plan owns a state-store
+    instance for the life of the query, and AQE cannot coalesce or
+    split stateful shuffles — the count is locked in up front. Both
+    directions hurt: 32 stores on a 4k-row replay more than double
+    wall time on instance setup/commit alone (measured, hence the
+    ``lo`` floor at replay volume), while a fixed small count
+    serializes a grown input on ``lo`` tasks — the 64x scale smoke
+    measured streaming_stateful_running_agg at 14.8x wall from
+    exactly this (6.4M rows through 8 partitions on 32 cores).
+
+    Sizing is by ROW count, not bytes: state work (store puts,
+    Python state-update batches) is per-row, and compressed parquet
+    bytes understate it ~10x. One count() job against the batch
+    frame — a metadata-fast parquet count on the usual sources — is
+    the price of the estimate; ``hi`` bounds total store instances
+    (RAM + per-micro-batch commit fan-out) on any input.
+    """
+    try:
+        n = batch_df.count()
+    except Exception:
+        return lo
+    return int(max(lo, min(hi, n // rows_per_store)))
+
+
 def streaming_dedup(events, *, id_col: str = "event_id", watermark: str = "2 hours"):
     """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keys
     state by ``id_col`` and expires entries once the watermark passes

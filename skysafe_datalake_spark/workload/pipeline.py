@@ -653,9 +653,15 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_tws_")
     qn = f"tws_{uuid.uuid4().hex[:8]}"
-    # Same state-store sizing note as streaming_interval_join.
+    # State-store sizing: see streaming.driver.stateful_shuffle_partitions
+    # (floor 8 at replay volume; grows with row count so a 64x input
+    # does not serialize on 8 Python state-update workers).
+    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stateful_shuffle_partitions(e))
+    )
     try:
         e.repartition(4).write.parquet(f"{tmp}/in")
         stream = (
@@ -730,13 +736,14 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_ssj_")
     qn = f"ssj_{uuid.uuid4().hex[:8]}"
-    # Stateful streaming gets NO AQE coalescing: every shuffle
-    # partition owns a state-store instance for the life of the
-    # query, so partition count must be sized to stream volume
-    # up front (32 stores on a 4k-row replay more than doubles
-    # wall time on instance setup/commit alone).
+    # Stateful streaming gets NO AQE coalescing — size the state
+    # shuffle to input volume (streaming.driver.stateful_shuffle_partitions).
+    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stateful_shuffle_partitions(e))
+    )
     try:
         e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
@@ -903,8 +910,14 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Every shuffle partition owns 4 state-store instances in an
     # outer interval join; at replay volume fewer stores beat the
-    # lost parallelism.
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # lost parallelism (lo=4), but the count still grows with input
+    # rows (streaming.driver.stateful_shuffle_partitions).
+    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stateful_shuffle_partitions(e, lo=4)),
+    )
     try:
         clicks_b = e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
@@ -1144,7 +1157,14 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_sfoj_")
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # Sized to input rows, floor 4 (4 state stores per partition in
+    # an outer join): streaming.driver.stateful_shuffle_partitions.
+    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stateful_shuffle_partitions(e, lo=4)),
+    )
     try:
         e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
@@ -1257,7 +1277,14 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="skysafe_sdd_")
     qn = f"sdd_{uuid.uuid4().hex[:8]}"
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # Sized to input rows (the duplicated stream), floor 4:
+    # streaming.driver.stateful_shuffle_partitions.
+    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stateful_shuffle_partitions(dup, lo=4)),
+    )
     try:
         dup.coalesce(4).write.parquet(f"{tmp}/in")
         stream = spark.readStream.schema(

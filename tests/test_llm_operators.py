@@ -94,6 +94,65 @@ def test_minhash_drop_nonminimal_equals_pair_formulation(spark):
     assert old, "fixture must actually produce drops"
 
 
+@pytest.mark.parametrize(
+    "n_hashes,band_size,min_matching",
+    [
+        (8, 2, 5),  # asymmetric: extra components not a band multiple
+        (8, 4, 4),  # bands == min_matching: 1 family per band
+        (8, 4, 6),  # wide bands + extras
+        (6, 2, 4),  # fewer hashes than the default
+        (8, 2, 8),  # full-match requirement: exact-dup only
+    ],
+)
+def test_minhash_drop_family_decomposition_other_configs(
+    spark, n_hashes, band_size, min_matching
+):
+    """The family decomposition must equal the pair formulation for
+    EVERY (n_hashes, band_size, min_matching) geometry, not just the
+    8/2/4 default the registry uses — the enumeration of
+    C(n_hashes-band_size, m-band_size) subsets per band is easy to
+    get off by one at the boundaries (no extras, all extras)."""
+    import random
+
+    rnd = random.Random(n_hashes * 100 + band_size * 10 + min_matching)
+    vocab = BASE.split()
+    rows = []
+    for i in range(50):
+        if i % 5 == 0:
+            rows.append((i, BASE))
+        elif i % 5 == 1:
+            w = list(vocab)
+            w[rnd.randrange(len(w))] = "mut%d" % i
+            rows.append((i, " ".join(w)))
+        else:
+            rows.append(
+                (i, " ".join(rnd.choice(vocab) for _ in range(30)) + " u%d" % i)
+            )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "doc_id", "text", n_hashes=n_hashes)
+    pairs = D.minhash_lsh_pairs(
+        sigs,
+        "doc_id",
+        n_hashes=n_hashes,
+        band_size=band_size,
+        min_matching=min_matching,
+        salt_groups=None,
+    )
+    old = {r["b_id"] for r in pairs.select("b_id").distinct().collect()}
+    new = {
+        r["doc_id"]
+        for r in D.minhash_drop_nonminimal(
+            sigs,
+            "doc_id",
+            n_hashes=n_hashes,
+            band_size=band_size,
+            min_matching=min_matching,
+        ).collect()
+    }
+    assert old == new
+    assert old, "fixture must actually produce drops (exact-dup clique)"
+
+
 def test_minhash_incremental_drop_equals_pair_formulation(spark):
     """The linear batch-vs-corpus drop decision must equal 'every
     batch_id appearing in minhash_incremental_pairs' on the same
