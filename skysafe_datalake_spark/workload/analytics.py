@@ -582,6 +582,8 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst; lineage is cut with localCheckpoint every 3 rounds so plan
     complexity stays constant over arbitrarily many iterations
     (same discipline as operators/graph.py connected components)."""
+    from pyspark.storagelevel import StorageLevel
+
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -592,17 +594,33 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Edge-scale checkpoint level is sized to the data (the same
+    # adaptive pattern as LSH auto-salting and stateful shuffle
+    # sizing): the default deserialized MEMORY_AND_DISK level holds
+    # every edge row as a live heap object for the life of the query,
+    # and back-to-back runs overlap before the ContextCleaner frees
+    # the old blocks — the 64x scale smoke (75M edges, ~2 GB+ per
+    # checkpoint set) OOMed a 16 GB JVM on exactly that accumulation.
+    # Above ~5M lineitem rows the checkpoints go DISK_ONLY (zero
+    # storage heap; blocks ride the OS page cache locally, and disk
+    # is the standard big-edge-table level on a cluster); below, the
+    # default level keeps the bench-scale disk round-trip off the
+    # hot path. The deciding count() is metadata-fast on parquet.
+    # The slim PAIRS table (2 cols, half the edge rows) is what gets
+    # checkpointed pre-fold.
+    big_graph = li.count() > 5_000_000
+    lvl = {"storageLevel": StorageLevel.DISK_ONLY} if big_graph else {}
+    pairs = pairs.localCheckpoint(eager=False, **lvl)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # outdeg is loop-invariant: fold it into the edge table ONCE so
     # each iteration runs a single equi-join (edges ⋈ ranks) instead
     # of re-joining deg every round (8 joins saved over 8 iterations).
     edges = edges.join(deg, "src").select("src", "dst", "outdeg")
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False, **lvl)
 
     n_nodes = nodes.count()
     base = _PR_TOTAL // n_nodes
