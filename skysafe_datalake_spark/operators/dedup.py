@@ -142,10 +142,12 @@ def minhash_signatures(
 
 def _parse_size_bytes(s: str) -> int:
     """Parse a Spark size conf value ("10485760", "10485760b",
-    "10MB", "-1") to bytes."""
+    "10MB", "1tb", "-1") to bytes — the full b/k/m/g/t/p suffix set
+    Spark's own byte-conf parser accepts."""
     s = s.strip().lower()
     units = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
-             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+             "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
     for suffix in sorted(units, key=len, reverse=True):
         if s.endswith(suffix):
             return int(float(s[: -len(suffix)]) * units[suffix])
@@ -216,12 +218,21 @@ def minhash_lsh_pairs(
     # entries would leak in the CacheManager across batch runs).
     signatures = signatures.localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
-    if salt_groups == "auto":
-        threshold = _parse_size_bytes(
-            signatures.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            )
+    if isinstance(salt_groups, str) and salt_groups != "auto":
+        raise ValueError(
+            f"salt_groups={salt_groups!r}: pass an int, None, or 'auto'"
         )
+    if salt_groups == "auto":
+        # The runtime broadcast-vs-shuffle call on this stats-free
+        # checkpointed plan is AQE's, which honors its own
+        # spark.sql.adaptive.autoBroadcastJoinThreshold when set and
+        # falls back to the static conf otherwise — mirror exactly
+        # that lookup order.
+        conf = signatures.sparkSession.conf
+        raw = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+        if raw in (None, "", "<undefined>"):
+            raw = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        threshold = _parse_size_bytes(raw)
         if threshold <= 0:
             salt_groups = _AUTO_SALT_GROUPS  # broadcast off: join shuffles
         else:

@@ -154,14 +154,14 @@ def sessionize_stream(
 
 
 def stateful_shuffle_partitions(
-    batch_df: DataFrame,
+    n_rows: int,
     *,
     rows_per_store: int = 200_000,
     lo: int = 8,
     hi: int = 128,
 ) -> int:
     """Shuffle-partition count for a STATEFUL streaming query, sized
-    to the stream's input volume.
+    to the stream's input volume (``n_rows``).
 
     Every shuffle partition of a stateful plan owns a state-store
     instance for the life of the query, and AQE cannot coalesce or
@@ -175,16 +175,14 @@ def stateful_shuffle_partitions(
 
     Sizing is by ROW count, not bytes: state work (store puts,
     Python state-update batches) is per-row, and compressed parquet
-    bytes understate it ~10x. One count() job against the batch
-    frame — a metadata-fast parquet count on the usual sources — is
-    the price of the estimate; ``hi`` bounds total store instances
-    (RAM + per-micro-batch commit fan-out) on any input.
+    bytes understate it ~10x. Callers that already materialize the
+    replay input (the bounded-replay harness queries write it to
+    parquet first) should capture ``n_rows`` from that same action
+    with ``pyspark.sql.Observation`` — an exact count at zero extra
+    scans. ``hi`` bounds total store instances (RAM +
+    per-micro-batch commit fan-out) on any input.
     """
-    try:
-        n = batch_df.count()
-    except Exception:
-        return lo
-    return int(max(lo, min(hi, n // rows_per_store)))
+    return int(max(lo, min(hi, n_rows // rows_per_store)))
 
 
 def streaming_dedup(events, *, id_col: str = "event_id", watermark: str = "2 hours"):

@@ -655,15 +655,23 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
     qn = f"tws_{uuid.uuid4().hex[:8]}"
     # State-store sizing: see streaming.driver.stateful_shuffle_partitions
     # (floor 8 at replay volume; grows with row count so a 64x input
-    # does not serialize on 8 Python state-update workers).
+    # does not serialize on 8 Python state-update workers). The row
+    # count rides the replay write via Observation — no extra scan —
+    # and the conf only needs to be set before the STREAM starts.
+    from pyspark.sql import Observation
+
     from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
 
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(stateful_shuffle_partitions(e))
-    )
     try:
-        e.repartition(4).write.parquet(f"{tmp}/in")
+        obs = Observation()
+        e.observe(obs, F.count(F.lit(1)).alias("n")).repartition(4).write.parquet(
+            f"{tmp}/in"
+        )
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stateful_shuffle_partitions(obs.get["n"])),
+        )
         stream = (
             spark.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1)
@@ -737,24 +745,34 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="skysafe_ssj_")
     qn = f"ssj_{uuid.uuid4().hex[:8]}"
     # Stateful streaming gets NO AQE coalescing — size the state
-    # shuffle to input volume (streaming.driver.stateful_shuffle_partitions).
+    # shuffle to the STREAMED volume (clicks + purchases, observed on
+    # the replay writes themselves at zero extra scans):
+    # streaming.driver.stateful_shuffle_partitions.
+    from pyspark.sql import Observation
+
     from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
 
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(stateful_shuffle_partitions(e))
-    )
     try:
+        obs_c, obs_p = Observation(), Observation()
         e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
-        ).write.parquet(f"{tmp}/clicks")
+        ).observe(obs_c, F.count(F.lit(1)).alias("n")).write.parquet(
+            f"{tmp}/clicks"
+        )
         e.where(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-        ).write.parquet(f"{tmp}/purchases")
+        ).observe(obs_p, F.count(F.lit(1)).alias("n")).write.parquet(
+            f"{tmp}/purchases"
+        )
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stateful_shuffle_partitions(obs_c.get["n"] + obs_p.get["n"])),
+        )
 
         clicks = spark.readStream.schema(
             "click_id bigint, c_user bigint, c_ts timestamp"
@@ -911,13 +929,12 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Every shuffle partition owns 4 state-store instances in an
     # outer interval join; at replay volume fewer stores beat the
     # lost parallelism (lo=4), but the count still grows with input
-    # rows (streaming.driver.stateful_shuffle_partitions).
+    # rows — observed on the replay writes themselves
+    # (streaming.driver.stateful_shuffle_partitions).
+    from pyspark.sql import Observation
+
     from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
 
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(stateful_shuffle_partitions(e, lo=4)),
-    )
     try:
         clicks_b = e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
@@ -943,9 +960,16 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Few input files: availableNow replays all files in one
         # batch either way, but 32 task-sized splits per side just
         # pay scheduling overhead on a bench-scale replay.
-        clicks_b.unionByName(sent_c).coalesce(4).write.parquet(f"{tmp}/clicks")
-        purchases_b.unionByName(sent_p).coalesce(4).write.parquet(
-            f"{tmp}/purchases"
+        obs_c, obs_p = Observation(), Observation()
+        clicks_b.unionByName(sent_c).observe(
+            obs_c, F.count(F.lit(1)).alias("n")
+        ).coalesce(4).write.parquet(f"{tmp}/clicks")
+        purchases_b.unionByName(sent_p).observe(
+            obs_p, F.count(F.lit(1)).alias("n")
+        ).coalesce(4).write.parquet(f"{tmp}/purchases")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stateful_shuffle_partitions(obs_c.get["n"] + obs_p.get["n"], lo=4)),
         )
         clicks = spark.readStream.schema(
             "click_id bigint, c_user bigint, c_ts timestamp"
@@ -1157,25 +1181,33 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_sfoj_")
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    # Sized to input rows, floor 4 (4 state stores per partition in
-    # an outer join): streaming.driver.stateful_shuffle_partitions.
+    # Sized to the streamed rows, floor 4 (4 state stores per
+    # partition in an outer join), observed on the replay writes:
+    # streaming.driver.stateful_shuffle_partitions.
+    from pyspark.sql import Observation
+
     from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
 
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(stateful_shuffle_partitions(e, lo=4)),
-    )
     try:
+        obs_c, obs_p = Observation(), Observation()
         e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
-        ).coalesce(4).write.parquet(f"{tmp}/clicks")
+        ).observe(obs_c, F.count(F.lit(1)).alias("n")).coalesce(
+            4
+        ).write.parquet(f"{tmp}/clicks")
         e.where(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-        ).coalesce(4).write.parquet(f"{tmp}/purchases")
+        ).observe(obs_p, F.count(F.lit(1)).alias("n")).coalesce(
+            4
+        ).write.parquet(f"{tmp}/purchases")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stateful_shuffle_partitions(obs_c.get["n"] + obs_p.get["n"], lo=4)),
+        )
         flush_ts = e.agg(
             F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
         ).first()[0]
@@ -1279,14 +1311,19 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Sized to input rows (the duplicated stream), floor 4:
     # streaming.driver.stateful_shuffle_partitions.
+    from pyspark.sql import Observation
+
     from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
 
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(stateful_shuffle_partitions(dup, lo=4)),
-    )
     try:
-        dup.coalesce(4).write.parquet(f"{tmp}/in")
+        obs = Observation()
+        dup.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(
+            4
+        ).write.parquet(f"{tmp}/in")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stateful_shuffle_partitions(obs.get["n"], lo=4)),
+        )
         stream = spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, event_type string"
         ).parquet(f"{tmp}/in")
