@@ -37,3 +37,18 @@ def test_round_number_env_override(tmp_path, monkeypatch):
 
 def test_round_number_empty_repo(tmp_path):
     assert bench._round_number(str(tmp_path)) == 1
+
+
+def test_stateful_shuffle_partitions_sizing():
+    from skysafe_datalake_spark.streaming.driver import (
+        stateful_shuffle_partitions,
+    )
+
+    # replay volume: floor wins
+    assert stateful_shuffle_partitions(10_000) == 8
+    assert stateful_shuffle_partitions(10_000, lo=4) == 4
+    # 64x smoke volume: 6.4M rows / 200k = 32 stores
+    assert stateful_shuffle_partitions(6_400_000) == 32
+    # unbounded input: hi caps store instances
+    assert stateful_shuffle_partitions(10**9) == 128
+    assert stateful_shuffle_partitions(0) == 8
