@@ -1169,11 +1169,16 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_left_outer_join): BOTH sides emit null-padded once the
     global watermark proves no counterpart can arrive, so clicks
     without purchases AND purchases without a preceding click both
-    survive. Same two-pass sentinel flush protocol against one
-    checkpoint; the sentinel pair matches itself and is filtered by
-    id sign on both columns. Result equals the batch FULL JOIN."""
-    import uuid
-
+    survive. Same single-pass sentinel protocol as the left-outer
+    query: a far-future sentinel row is written into BOTH inputs
+    before the one availableNow pass, the whole replay lands in one
+    data micro-batch, the sentinel advances the post-batch watermark
+    past all real event time, and the trailing no-data batch flushes
+    the surviving unmatched rows from BOTH state stores. The sentinel
+    pair matches itself and is filtered by id sign on both columns.
+    Result equals the batch FULL JOIN. (Replaced the two-pass flush —
+    pass 1 data, append sentinels, pass 2 on the same checkpoint —
+    identical output, roughly half the state-commit machinery.)"""
     from skysafe_datalake_spark.streaming.driver import interval_join_streams
 
     e = load(spark, sf_dir, "events").select(
@@ -1189,75 +1194,70 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
 
     try:
+        flush_ts = e.agg(
+            F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
+        ).first()[0]  # 1-row scalar: sentinel past every real window
+        sent_c = spark.createDataFrame(
+            [(-1, -1, flush_ts)],
+            "click_id bigint, c_user bigint, c_ts timestamp",
+        )
+        sent_p = spark.createDataFrame(
+            [(-1, -1, flush_ts)],
+            "purchase_id bigint, p_user bigint, p_ts timestamp",
+        )
         obs_c, obs_p = Observation(), Observation()
         e.where(F.col("event_type") == "click").select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
-        ).observe(obs_c, F.count(F.lit(1)).alias("n")).coalesce(
-            4
-        ).write.parquet(f"{tmp}/clicks")
+        ).unionByName(sent_c).observe(
+            obs_c, F.count(F.lit(1)).alias("n")
+        ).coalesce(4).write.parquet(f"{tmp}/clicks")
         e.where(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
-        ).observe(obs_p, F.count(F.lit(1)).alias("n")).coalesce(
-            4
-        ).write.parquet(f"{tmp}/purchases")
+        ).unionByName(sent_p).observe(
+            obs_p, F.count(F.lit(1)).alias("n")
+        ).coalesce(4).write.parquet(f"{tmp}/purchases")
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(stateful_shuffle_partitions(obs_c.get["n"] + obs_p.get["n"], lo=4)),
         )
-        flush_ts = e.agg(
-            F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
-        ).first()[0]
-
-        def run_pass() -> None:
-            clicks = spark.readStream.schema(
-                "click_id bigint, c_user bigint, c_ts timestamp"
-            ).parquet(f"{tmp}/clicks")
-            purchases = spark.readStream.schema(
-                "purchase_id bigint, p_user bigint, p_ts timestamp"
-            ).parquet(f"{tmp}/purchases")
-            joined = interval_join_streams(
-                clicks,
-                purchases,
-                left_key="c_user",
-                right_key="p_user",
-                left_ts="c_ts",
-                right_ts="p_ts",
-                watermark="1 hour",
-                within="30 minutes",
-                how="full_outer",
-            ).select(
-                "click_id",
-                "purchase_id",
-                F.coalesce(F.col("c_user"), F.col("p_user")).alias(
-                    "user_id"
-                ),
-                (
-                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
-                ).cast("bigint").alias("delay_s"),
-            )
-            q = (
-                joined.writeStream.format("parquet")
-                .option("path", f"{tmp}/out")
-                .option("checkpointLocation", f"{tmp}/ckpt")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-
-        run_pass()
-        spark.createDataFrame(
-            [(-1, -1, flush_ts)],
-            "click_id bigint, c_user bigint, c_ts timestamp",
-        ).coalesce(1).write.mode("append").parquet(f"{tmp}/clicks")
-        spark.createDataFrame(
-            [(-1, -1, flush_ts)],
-            "purchase_id bigint, p_user bigint, p_ts timestamp",
-        ).coalesce(1).write.mode("append").parquet(f"{tmp}/purchases")
-        run_pass()
+        clicks = spark.readStream.schema(
+            "click_id bigint, c_user bigint, c_ts timestamp"
+        ).parquet(f"{tmp}/clicks")
+        purchases = spark.readStream.schema(
+            "purchase_id bigint, p_user bigint, p_ts timestamp"
+        ).parquet(f"{tmp}/purchases")
+        joined = interval_join_streams(
+            clicks,
+            purchases,
+            left_key="c_user",
+            right_key="p_user",
+            left_ts="c_ts",
+            right_ts="p_ts",
+            watermark="1 hour",
+            within="30 minutes",
+            how="full_outer",
+        ).select(
+            "click_id",
+            "purchase_id",
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias(
+                "user_id"
+            ),
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            ).cast("bigint").alias("delay_s"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
         out = spark.read.parquet(f"{tmp}/out").where(
             (F.col("click_id").isNull() | (F.col("click_id") >= 0))
             & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
