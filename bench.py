@@ -29,7 +29,25 @@ Flags / env:
                             cache is keyed on generated source, so
                             pass 2 always reuses pass 1's classes).
   SPARK_GRAFT_SKIP_WARMUP=1 skip warm-up entirely.
-  SPARK_GRAFT_BENCH_PASSES  timed passes (default 2, min of passes).
+  SPARK_GRAFT_BENCH_PASSES  timed passes (default 3, min of passes).
+
+Noise telemetry (round 6): this box shares I/O and CPU with noisy
+neighbors, and round 5's headline shifted +18% UNIFORMLY — including
+queries with zero code change — with nothing in the artifact to prove
+it was host load. Every run now records, in both the stdout line
+(`noise`) and the detail file:
+  - `loadavg`: /proc/loadavg (1/5/15-min) sampled before each timed
+    pass and once after the last — rising load across passes marks a
+    contended run;
+  - `canary_sec`: a fixed-cost pure-CPU probe (sum of id*id over a
+    32M-row range, 32 tasks, zero I/O, codegen pre-warmed) timed once
+    per pass. The canary never changes between rounds, so its
+    round-over-round ratio is the host-speed correction factor: a
+    uniform query shift that matches the canary shift is load, not
+    regression.
+Reading it: compare `noise.canary_sec` (min) across BENCH_r{N} files
+before chasing per-query deltas; within a run, per-pass canary spread
+is the noise floor for single-query samples.
 """
 
 from __future__ import annotations
@@ -148,6 +166,15 @@ def _round_number(repo_root: str) -> int:
     env = os.environ.get("SPARK_GRAFT_ROUND", "")
     if env.isdigit():
         return int(env)
+    if env:
+        # Don't silently ignore a set-but-unparseable override (e.g.
+        # 'r5') — that re-introduces the exact mislabeling this
+        # function exists to prevent.
+        print(
+            f"# SPARK_GRAFT_ROUND={env!r} is not an integer; "
+            "inferring round from r{N} files instead",
+            file=sys.stderr,
+        )
     bench: set[int] = set()
     corr: set[int] = set()
     for fname in os.listdir(repo_root):
@@ -160,6 +187,30 @@ def _round_number(repo_root: str) -> int:
     return latest + 1
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, or None off-Linux."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _canary(spark) -> float:
+    """Fixed-cost host-speed probe: pure-CPU sum over a 32M-row range
+    in 32 tasks, zero I/O, one row to the driver. The work NEVER
+    changes, so wall time moves only with host contention — run once
+    per timed pass, its spread is the run's noise floor and its
+    round-over-round ratio the host-speed correction factor. The
+    modulus keeps the 32M-term sum inside bigint under ANSI mode
+    (a raw sum(id*id) peaks ~1e22 and overflows)."""
+    t0 = time.perf_counter()
+    spark.range(0, 32_000_000, 1, 32).selectExpr(
+        "sum((id * id) % 1000003) AS s", "count(*) AS c"
+    ).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from skysafe_datalake_spark.session import get_spark
     from skysafe_datalake_spark.workload import QUERIES
@@ -168,7 +219,7 @@ def main() -> None:
     run_all = "--all" in sys.argv[1:] or os.environ.get(
         "SPARK_GRAFT_BENCH_ALL"
     ) == "1"
-    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
     spark = get_spark(app_name="skysafe-bench", master=f"local[{CPUS}]")
     headline = [n for n in HEADLINE if n in QUERIES]
@@ -232,14 +283,24 @@ def main() -> None:
     # samples (that inflated five BENCH_r02 entries ~10×). With full
     # passes a stall lands on at most one sample per query, and
     # min-of-passes recovers the reproducible engine cost.
+    # Noise telemetry: loadavg before every pass (+ once after the
+    # last) and a fixed-cost canary per pass. One unrecorded canary
+    # first primes its codegen so pass-1 isn't charged for it.
+    _canary(spark)
+    loadavgs: list[list[float] | None] = []
+    canary_sec: list[float] = []
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _pass in range(n_passes):
+        loadavgs.append(_loadavg())
+        canary_sec.append(_canary(spark))
         for name in names:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
+    loadavgs.append(_loadavg())
     timings = {n: min(s) for n, s in samples.items()}
+    noise = {"loadavg": loadavgs, "canary_sec": canary_sec}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -267,6 +328,7 @@ def main() -> None:
                     "n_queries": len(headline_timings),
                     "queries": timings,
                     "samples": samples,
+                    "noise": noise,
                     "all": run_all,
                 },
                 f,
@@ -296,6 +358,11 @@ def main() -> None:
                     "interleaved passes"
                 ),
                 "n_queries": len(headline_timings),
+                # loadavg sampled before each pass + after the last;
+                # canary = fixed-cost pure-CPU probe per pass (see
+                # module docstring): compare canary across rounds
+                # before reading per-query deltas as regressions.
+                "noise": noise,
                 "detail_file": os.path.basename(detail_path),
             },
             separators=(",", ":"),

@@ -227,14 +227,19 @@ def minhash_lsh_pairs(
         # checkpointed plan is AQE's, which honors its own
         # spark.sql.adaptive.autoBroadcastJoinThreshold when set and
         # falls back to the static conf otherwise — mirror exactly
-        # that lookup order.
+        # that lookup order. With AQE DISABLED there is no runtime
+        # re-plan at all: the checkpointed LogicalRDD carries the
+        # default (effectively infinite) size estimate, so the static
+        # planner sort-merge-joins regardless of the threshold —
+        # treat that like threshold<=0 and salt.
         conf = signatures.sparkSession.conf
+        aqe = (conf.get("spark.sql.adaptive.enabled", "true") or "true").lower()
         raw = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
         if raw in (None, "", "<undefined>"):
             raw = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
         threshold = _parse_size_bytes(raw)
-        if threshold <= 0:
-            salt_groups = _AUTO_SALT_GROUPS  # broadcast off: join shuffles
+        if aqe != "true" or threshold <= 0:
+            salt_groups = _AUTO_SALT_GROUPS  # join shuffles: salt
         else:
             est = signatures.count() * n_bands * _BANDED_ROW_BYTES
             salt_groups = _AUTO_SALT_GROUPS if est > threshold else None
@@ -291,7 +296,13 @@ def minhash_lsh_pairs(
     )
 
 
-def _family_keys(n_hashes: int, band_size: int, min_matching: int) -> Column:
+def _family_keys(
+    n_hashes: int,
+    band_size: int,
+    min_matching: int,
+    *,
+    pair_api: str = "minhash_lsh_pairs",
+) -> Column:
     """Array of component-FAMILY keys for the linear drop decision.
 
     "Shares band p AND matches >= m of n components" holds iff the
@@ -328,10 +339,15 @@ def _family_keys(n_hashes: int, band_size: int, min_matching: int) -> Column:
         for combo in combinations(rest, extra):
             families.append((p, band_comps + list(combo)))
     if len(families) > 512:
+        # pair_api names the caller's OWN pair-formulation fallback
+        # (minhash_lsh_pairs for the batch drop, minhash_incremental_pairs
+        # for the batch-x-corpus drop) so the message points at the
+        # API the user can actually switch to.
         raise ValueError(
             f"{len(families)} component families (n_hashes={n_hashes}, "
             f"band_size={band_size}, min_matching={min_matching}); use "
-            "the pair formulation for configurations this wide"
+            f"the pair formulation ({pair_api}) for configurations "
+            "this wide"
         )
     return F.array(
         *[
@@ -633,7 +649,10 @@ def minhash_incremental_drop(
     per-batch probe exchange-free, and appending a batch's own keys
     maintains it incrementally.
     """
-    keys = _family_keys(n_hashes, band_size, min_matching)
+    keys = _family_keys(
+        n_hashes, band_size, min_matching,
+        pair_api="minhash_incremental_pairs",
+    )
     corpus_keys = corpus_sigs.select(
         F.explode(keys).alias("fam_key")
     ).distinct()

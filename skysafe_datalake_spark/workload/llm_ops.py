@@ -102,6 +102,10 @@ _BANDS_SQL = ", ".join(
 _MATCH_SQL = " + ".join(
     f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_N_HASHES)
 )
+# Keep threshold: pairs survive when >= half the signature components
+# match (estimated Jaccard >= _MIN_MATCHING / _N_HASHES). One constant
+# feeds BOTH the Spark operator call and the oracle SQL predicate.
+_MIN_MATCHING = 4
 
 
 @register(
@@ -115,7 +119,7 @@ banded AS (
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        {_MATCH_SQL} AS n_matching
 FROM banded a JOIN banded b USING (band_key)
-WHERE a.doc_id < b.doc_id AND {_MATCH_SQL.replace('a.mh', 'a.mh').replace('b.mh', 'b.mh')} >= 4
+WHERE a.doc_id < b.doc_id AND {_MATCH_SQL} >= {_MIN_MATCHING}
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,7 +129,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=_N_HASHES)
     return D.minhash_lsh_pairs(
-        sigs, "doc_id", n_hashes=_N_HASHES, band_size=2, min_matching=4
+        sigs, "doc_id", n_hashes=_N_HASHES, band_size=2,
+        min_matching=_MIN_MATCHING,
     )
 
 

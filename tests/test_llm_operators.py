@@ -276,6 +276,20 @@ def test_minhash_lsh_auto_salt_decision_and_identity(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
+    # AQE disabled: no runtime broadcast re-plan exists for the
+    # stats-free checkpointed plan, so the join sort-merges no matter
+    # the threshold -> auto must salt even under the default 10 MB.
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        auto_no_aqe = D.minhash_lsh_pairs(
+            sigs, "doc_id", n_hashes=8, min_matching=4
+        )
+        assert "_g" in _optimized_plan(auto_no_aqe)
+        assert sorted(map(tuple, auto_no_aqe.collect())) == plain
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+
 
 def test_parse_size_bytes_handles_spark_conf_forms():
     # The forms Spark actually returns for autoBroadcastJoinThreshold
