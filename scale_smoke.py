@@ -300,6 +300,7 @@ def replicate(spark) -> None:
 
 
 def timed(spark, sf_dir: str) -> dict[str, float | None]:
+    from skysafe_datalake_spark.errors import OverScaleRefusal
     from skysafe_datalake_spark.workload import QUERIES
 
     # Some queries REFUSE over-scale input by design rather than
@@ -307,14 +308,17 @@ def timed(spark, sf_dir: str) -> dict[str, float | None]:
     # snapshot at 2M rows — a snapshot models one bounded API
     # response, and 64x replication exceeds it). Record the refusal
     # (None -> "refused" in the table) instead of killing the whole
-    # sweep mid-table.
+    # sweep mid-table. Only the dedicated OverScaleRefusal type is a
+    # refusal: a genuine ValueError regression (size-parse failure,
+    # bad salt_groups, >512-family configs) must still kill the
+    # sweep, not be mislabeled as by-design.
     refused: set[str] = set()
     for n in NAMES:  # warm: codegen + readers
         try:
             QUERIES[n](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except ValueError as exc:
+        except OverScaleRefusal as exc:
             print(f"# {n} at {sf_dir}: refused by design: {exc}", file=sys.stderr)
             refused.add(n)
     out = {}
@@ -365,7 +369,11 @@ def main() -> None:
         s, b = small[n], big[n]
         s_txt = f"{s:7.2f}" if s is not None else f"{'refused':>7s}"
         b_txt = f"{b:7.2f}" if b is not None else f"{'refused':>7s}"
-        r_txt = f"{b / s:6.1f}" if s and b is not None else f"{'—':>6s}"
+        r_txt = (
+            f"{b / s:6.1f}"
+            if s is not None and b is not None and s > 0
+            else f"{'—':>6s}"
+        )
         print(f"{n:24s} {s_txt} {b_txt} {r_txt}")
     spark.stop()
 

@@ -162,6 +162,62 @@ def _parse_size_bytes(s: str) -> int:
 _AUTO_SALT_GROUPS = 8
 _BANDED_ROW_BYTES = 48
 
+# Pair-emission runaway warning: the pairs path is output-bound on
+# duplicate-heavy corpora (the 64x smoke emitted 1.147B pairs in
+# ~19 min — by design there, silently elsewhere). Past this many
+# emitted candidate pairs a stderr warning names the linear-output
+# alternatives. 100M pairs ~ 1.6 GB of (a_id, b_id) rows — already
+# deep in "did you mean the drop formulation?" territory while far
+# above any legitimate small-corpus pair count.
+_PAIR_WARN_THRESHOLD = 100_000_000
+
+
+def _pair_runaway_message(n_pairs: int, threshold: int) -> str | None:
+    """Warning text when the candidate-pair count crosses the
+    threshold, else None. Pure function so the fire/stay-silent
+    decision is unit-testable without running a join."""
+    if n_pairs <= threshold:
+        return None
+    return (
+        f"minhash_lsh_pairs emitted {n_pairs:,} candidate pairs "
+        f"(> {threshold:,}): pair output is O(|bucket|^2) per band "
+        "bucket and grows quadratically with duplicate density. For "
+        "keep-smallest-id dedup the linear-output paths are "
+        "minhash_drop_nonminimal (batch) and minhash_incremental_drop "
+        "(batch x corpus) — output-identical, measured 5x faster at "
+        "64x scale."
+    )
+
+
+def _watch_pair_emission(observation, threshold: int):
+    """Daemon thread that waits on the pair-count Observation and
+    warns to stderr past the threshold.
+
+    ``Observation.get`` blocks until the first action executes the
+    observed plan, which happens in the CALLER's action — a callback
+    thread is the only way to surface the count without forcing an
+    extra job of our own. Daemon: if the returned frame is never
+    executed the thread parks forever and dies with the process.
+    Returns the thread so tests (and callers) can join it after
+    their action."""
+    import sys
+    import threading
+
+    def run() -> None:
+        try:
+            n_pairs = observation.get["n_pairs"]
+        except Exception:
+            return  # query failed/cancelled: nothing to report
+        msg = _pair_runaway_message(n_pairs, threshold)
+        if msg is not None:
+            print(f"WARNING: {msg}", file=sys.stderr)
+
+    t = threading.Thread(
+        target=run, daemon=True, name="minhash-pair-emission-watch"
+    )
+    t.start()
+    return t
+
 
 def minhash_lsh_pairs(
     signatures: DataFrame,
@@ -171,6 +227,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     min_matching: int = 4,
     salt_groups: int | str | None = "auto",
+    pair_warn_threshold: int | None = _PAIR_WARN_THRESHOLD,
 ) -> DataFrame:
     """LSH candidate pairs from MinHash signatures.
 
@@ -210,7 +267,22 @@ def minhash_lsh_pairs(
     comes from a count() on the lazily-checkpointed signature table,
     so the expensive shingle+md5 derivation is materialized once and
     reused by the joins — the decision costs one cheap job, not a
-    recompute. Pass an int to force, ``None`` to never salt.
+    recompute. With ``spark.sql.adaptive.enabled=false`` there is no
+    runtime re-plan at all — the stats-free checkpointed plan always
+    sort-merge-joins regardless of the threshold — so auto salts
+    unconditionally (and skips the count() job). Pass an int to
+    force, ``None`` to never salt.
+
+    ``pair_warn_threshold``: the pairs path is OUTPUT-bound on
+    duplicate-heavy corpora — pair volume grows with the square of
+    duplicate density, not with corpus size (the 64x scale smoke
+    emitted 1.147B pairs in ~19 min). The deduped candidate-pair
+    count rides the caller's own action via an ``Observation`` (zero
+    extra jobs); past the threshold a stderr warning names the
+    linear-output alternatives (:func:`minhash_drop_nonminimal`,
+    :func:`minhash_incremental_drop`), which are output-identical
+    for keep-smallest-id dedup and measured 5x faster at 64x. Pass
+    ``None`` to disable the observation entirely.
     """
     # The signature table feeds the self-join AND the scoring joins;
     # materialize once via lazy localCheckpoint (blocks are freed by
@@ -276,6 +348,13 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    monitor = None
+    if pair_warn_threshold is not None:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        pairs = pairs.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
+        monitor = _watch_pair_emission(obs, pair_warn_threshold)
     a_sigs = signatures.select(
         F.col(id_col).alias("a_id"),
         *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(n_hashes)],
@@ -288,12 +367,16 @@ def minhash_lsh_pairs(
         F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
         for i in range(n_hashes)
     )
-    return (
+    out = (
         pairs.join(a_sigs, ["a_id"])
         .join(b_sigs, ["b_id"])
         .select("a_id", "b_id", matching.alias("n_matching"))
         .filter(F.col("n_matching") >= min_matching)
     )
+    # Test handle: join this after an action to observe the warning
+    # deterministically (the thread parks until the plan executes).
+    out._pair_emission_monitor = monitor
+    return out
 
 
 def _family_keys(

@@ -24,7 +24,8 @@ unconditionally and recomputes lineage each time, §4 anti-pattern).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import time
+from dataclasses import dataclass, field
 from datetime import datetime
 
 from pyspark.sql import SparkSession
@@ -46,6 +47,11 @@ class BatchRunResult:
     usage_path: str
     model_info: PhaseModelInfo
     counts: dict[str, int]
+    # Wall seconds per DAG stage (extract_flights, extract_weather,
+    # format_flights, format_weather, combine, usage [, counts]).
+    # The e2e pipeline is a composite — the only way to attribute a
+    # regression inside its single bench number is stage-level wall.
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
 
 def format_flights_stage(
@@ -112,17 +118,36 @@ def run_batch_pipeline(
     with_counts: bool = False,
 ) -> BatchRunResult:
     """One minute-cadence run of the full DAG, all four layers."""
-    raw_f = ingest.extract_flights(spark, catalog, flights_client, ts=ts)
-    raw_w = ingest.extract_weather(
-        spark, catalog, weather_client, points=weather_points, ts=ts
+    stage_seconds: dict[str, float] = {}
+
+    def _staged(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stage_seconds[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    raw_f = _staged(
+        "extract_flights",
+        lambda: ingest.extract_flights(spark, catalog, flights_client, ts=ts),
     )
-    fmt_f = format_flights_stage(spark, catalog, ts=ts)
-    fmt_w = format_weather_stage(spark, catalog, ts=ts)
-    enr, info = combine_stage(spark, catalog, ts=ts)
-    usage = usage_stage(spark, catalog, ts=ts)
+    raw_w = _staged(
+        "extract_weather",
+        lambda: ingest.extract_weather(
+            spark, catalog, weather_client, points=weather_points, ts=ts
+        ),
+    )
+    fmt_f = _staged(
+        "format_flights", lambda: format_flights_stage(spark, catalog, ts=ts)
+    )
+    fmt_w = _staged(
+        "format_weather", lambda: format_weather_stage(spark, catalog, ts=ts)
+    )
+    enr, info = _staged("combine", lambda: combine_stage(spark, catalog, ts=ts))
+    usage = _staged("usage", lambda: usage_stage(spark, catalog, ts=ts))
 
     counts: dict[str, int] = {}
     if with_counts:
+        t0 = time.perf_counter()
         for name, (layer, source, entity) in {
             "formatted_flights": ("formatted", "opensky", "flights"),
             "formatted_weather": ("formatted", "open_meteo", "weather"),
@@ -130,6 +155,13 @@ def run_batch_pipeline(
             "usage": ("usage", "skysafe", "flights"),
         }.items():
             counts[name] = catalog.read_latest(spark, layer, source, entity).count()
+        stage_seconds["counts"] = round(time.perf_counter() - t0, 3)
+    # Module-level copy of the LAST run's stage wall: bench.py reads
+    # it to attach stage-level attribution to the e2e bench row
+    # without threading the result object through the registry's
+    # (spark, sf_dir) -> DataFrame query signature.
+    global LAST_STAGE_SECONDS
+    LAST_STAGE_SECONDS = dict(stage_seconds)
     return BatchRunResult(
         raw_flights_path=raw_f,
         raw_weather_path=raw_w,
@@ -139,4 +171,10 @@ def run_batch_pipeline(
         usage_path=usage,
         model_info=info,
         counts=counts,
+        stage_seconds=stage_seconds,
     )
+
+
+# Stage wall seconds of the most recent run_batch_pipeline call in
+# this process (telemetry for bench detail; see run_batch_pipeline).
+LAST_STAGE_SECONDS: dict[str, float] = {}

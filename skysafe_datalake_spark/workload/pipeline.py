@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skysafe_datalake_spark.catalog import LakeCatalog
+from skysafe_datalake_spark.errors import OverScaleRefusal
 from skysafe_datalake_spark.functions.phase import flight_phase_id, flight_phase_rules
 from skysafe_datalake_spark.plans.combine import combine_enrich
 from skysafe_datalake_spark.plans.pipeline import run_batch_pipeline
@@ -189,7 +190,7 @@ def batch_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = 2_000_000
     rows = synthetic_flights(load(spark, sf_dir, "events")).limit(cap + 1).collect()
     if len(rows) > cap:
-        raise ValueError(
+        raise OverScaleRefusal(
             f"batch_pipeline_e2e fixture snapshot exceeds {cap} rows; "
             "the e2e fixture models one API snapshot, not a bulk table"
         )

@@ -1,4 +1,5 @@
-"""bench.py harness behavior (no Spark session needed)."""
+"""bench.py / scale_smoke.py harness behavior (mostly Spark-free;
+the scale_smoke refusal tests drive timed() on the session fixture)."""
 
 from __future__ import annotations
 
@@ -115,3 +116,126 @@ def test_stateful_sizing_pinned_at_bench_scale():
     assert stateful_shuffle_partitions(clicks + purchases + 2, lo=4) == 4
     #   streaming_dedup_watermark: events + every-3rd re-sent, lo=4
     assert stateful_shuffle_partitions(total + dup_extra, lo=4) == 4
+
+
+# ───────────────── cross-round canary comparison ─────────────────
+
+
+def _write_json(path, obj):
+    import json
+
+    path.write_text(json.dumps(obj))
+
+
+def test_prev_canary_min_walks_back_and_prefers_detail(tmp_path):
+    # r5 predates noise telemetry (no noise object); r6 has both a
+    # detail file and the driver's stdout capture — the detail file
+    # (full per-pass record) wins.
+    _write_json(tmp_path / "BENCH_r05.json", {"value": 80.58})
+    _write_json(
+        tmp_path / "BENCH_DETAIL_r06.json",
+        {"noise": {"canary_sec": [0.08, 0.059, 0.07]}},
+    )
+    _write_json(
+        tmp_path / "BENCH_r06.json", {"noise": {"canary_sec": [0.149, 0.2]}}
+    )
+    assert bench._prev_canary_min(str(tmp_path), 7) == (
+        0.059,
+        6,
+        "BENCH_DETAIL_r06.json",
+    )
+    # From round 8 the walk-back skips a telemetry-less r7 and still
+    # finds r6.
+    _write_json(tmp_path / "BENCH_r07.json", {"value": 1.0})
+    assert bench._prev_canary_min(str(tmp_path), 8)[1] == 6
+
+
+def test_prev_canary_min_none_without_telemetry(tmp_path):
+    _write_json(tmp_path / "BENCH_r05.json", {"value": 80.58})
+    assert bench._prev_canary_min(str(tmp_path), 6) == (None, None, None)
+
+
+def test_canary_comparison_flags_noisy_host(tmp_path):
+    _write_json(
+        tmp_path / "BENCH_DETAIL_r06.json", {"noise": {"canary_sec": [0.06]}}
+    )
+    out = bench._canary_comparison([0.151, 0.149], str(tmp_path), 7)
+    assert out["canary_min"] == 0.149
+    assert out["prev_canary"] == {
+        "round": 6,
+        "file": "BENCH_DETAIL_r06.json",
+        "min": 0.06,
+    }
+    assert out["canary_ratio_vs_prev"] == pytest.approx(2.483)
+    assert out["noisy_host"] is True
+
+
+def test_canary_comparison_comparable_host(tmp_path):
+    _write_json(
+        tmp_path / "BENCH_DETAIL_r06.json", {"noise": {"canary_sec": [0.06]}}
+    )
+    out = bench._canary_comparison([0.065], str(tmp_path), 7)
+    assert out["canary_ratio_vs_prev"] == pytest.approx(1.083)
+    assert out["noisy_host"] is False
+
+
+def test_canary_comparison_without_prior_round(tmp_path):
+    out = bench._canary_comparison([0.1], str(tmp_path), 1)
+    assert out == {"canary_min": 0.1, "prev_canary": None}
+
+
+# ──────────────── scale_smoke over-scale refusal path ─────────────
+
+
+def test_scale_smoke_refusal_marks_and_continues(spark, monkeypatch):
+    """A query raising OverScaleRefusal in the warm pass is recorded
+    as refused (None) and the sweep times the remaining queries."""
+    import scale_smoke
+    from skysafe_datalake_spark.errors import OverScaleRefusal
+    from skysafe_datalake_spark.workload import QUERIES
+
+    def refuser(s, sf_dir):
+        raise OverScaleRefusal("fixture snapshot exceeds cap")
+
+    monkeypatch.setitem(QUERIES, "_smoke_refuser", refuser)
+    monkeypatch.setitem(QUERIES, "_smoke_ok", lambda s, sf_dir: s.range(5))
+    monkeypatch.setattr(
+        scale_smoke, "NAMES", ["_smoke_refuser", "_smoke_ok"]
+    )
+    out = scale_smoke.timed(spark, "unused-sf-dir")
+    assert out["_smoke_refuser"] is None
+    assert out["_smoke_ok"] is not None and out["_smoke_ok"] > 0
+
+
+def test_scale_smoke_genuine_valueerror_still_fails(spark, monkeypatch):
+    """Only the dedicated refusal type is a by-design refusal: a
+    plain ValueError (a real regression) must kill the sweep, not be
+    silently tabled as 'refused'."""
+    import scale_smoke
+    from skysafe_datalake_spark.workload import QUERIES
+
+    def broken(s, sf_dir):
+        raise ValueError("size parse regression")
+
+    monkeypatch.setitem(QUERIES, "_smoke_broken", broken)
+    monkeypatch.setattr(scale_smoke, "NAMES", ["_smoke_broken"])
+    with pytest.raises(ValueError, match="size parse regression"):
+        scale_smoke.timed(spark, "unused-sf-dir")
+
+
+def test_scale_smoke_unknown_query_exits_2():
+    """An all-typo subset must fail fast (exit 2) BEFORE paying for a
+    Spark session or the replicate step."""
+    import subprocess
+    import sys as _sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run(
+        [_sys.executable, "scale_smoke.py", "definitely_not_a_query"],
+        cwd=repo_root,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert p.returncode == 2
+    assert "not in NAMES" in p.stderr

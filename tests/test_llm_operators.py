@@ -566,3 +566,59 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
         for r in QUERIES["leakage_safe_split"](spark, SF_SMALL).collect()
     }
     assert again == out
+
+
+# ──────────────── pair-emission runaway warning ───────────────────
+
+
+def test_pair_runaway_message_fires_only_past_threshold():
+    # at/below the threshold: silent
+    assert D._pair_runaway_message(10, 10) is None
+    assert D._pair_runaway_message(0, 10) is None
+    msg = D._pair_runaway_message(11, 10)
+    # the warning must name BOTH linear-output alternatives so the
+    # caller knows what to switch to at 100 TB
+    assert "minhash_drop_nonminimal" in msg
+    assert "minhash_incremental_drop" in msg
+    assert "11" in msg
+
+
+def test_pair_emission_warning_fires_past_threshold(docs, capsys):
+    """With the threshold forced to 0 every emitted pair is a
+    runaway: the Observation-backed monitor must warn on stderr
+    after the caller's own action, naming the linear paths."""
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    pairs = D.minhash_lsh_pairs(
+        sigs, "doc_id", n_hashes=8, min_matching=4, pair_warn_threshold=0
+    )
+    assert pairs.count() > 0  # the caller's action triggers the metric
+    monitor = pairs._pair_emission_monitor
+    assert monitor is not None
+    monitor.join(timeout=60)
+    assert not monitor.is_alive()
+    err = capsys.readouterr().err
+    assert "candidate pairs" in err
+    assert "minhash_drop_nonminimal" in err
+    assert "minhash_incremental_drop" in err
+
+
+def test_pair_emission_silent_under_threshold(docs, capsys):
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    pairs = D.minhash_lsh_pairs(
+        sigs, "doc_id", n_hashes=8, min_matching=4,
+        pair_warn_threshold=1_000_000,
+    )
+    pairs.count()
+    monitor = pairs._pair_emission_monitor
+    monitor.join(timeout=60)
+    assert not monitor.is_alive()
+    assert "candidate pairs" not in capsys.readouterr().err
+
+
+def test_pair_emission_observation_disabled_with_none(docs):
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    pairs = D.minhash_lsh_pairs(
+        sigs, "doc_id", n_hashes=8, min_matching=4, pair_warn_threshold=None
+    )
+    assert pairs._pair_emission_monitor is None
+    assert "CollectMetrics" not in pairs._jdf.queryExecution().toString()

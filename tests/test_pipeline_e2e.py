@@ -99,11 +99,38 @@ def test_weather_per_point_error_tolerance():
 
 
 def test_batch_pipeline_materializes_all_layers(spark, tmp_path):
+    import time as _time
+
     flights_client, weather_client = fixture_clients(states_payload(_rows(60)))
     cat = LakeCatalog(str(tmp_path / "lake"))
+    t0 = _time.perf_counter()
     result = run_batch_pipeline(
         spark, cat, flights_client, weather_client, ts=FIXTURE_TS, with_counts=True
     )
+    total = _time.perf_counter() - t0
+
+    # Per-stage wall attribution: every DAG stage records a positive
+    # wall time and the stages account for (almost all of) the call —
+    # the residual is result-object assembly, sub-millisecond.
+    expected_stages = {
+        "extract_flights",
+        "extract_weather",
+        "format_flights",
+        "format_weather",
+        "combine",
+        "usage",
+        "counts",  # with_counts=True
+    }
+    assert set(result.stage_seconds) == expected_stages
+    assert all(s >= 0 for s in result.stage_seconds.values())
+    staged = sum(result.stage_seconds.values())
+    assert staged <= total + 0.01  # per-stage values round to 1 ms
+    assert staged >= 0.95 * total
+    # bench.py reads the module-level copy for the e2e detail row
+    from skysafe_datalake_spark.plans import pipeline as plans_pipeline
+
+    assert plans_pipeline.LAST_STAGE_SECONDS == result.stage_seconds
+
     assert result.counts["formatted_flights"] == 60
     assert result.counts["formatted_weather"] == 6
     assert result.counts["enriched"] == 60
