@@ -1098,15 +1098,17 @@ SELECT c.c_custkey, c.c_mktsegment,
        t.o_orderkey, t.total_cents, t.order_rank
 FROM customer c,
 LATERAL (
-  SELECT o.o_orderkey,
-         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
-         CAST(row_number() OVER (
-           ORDER BY o.o_totalprice DESC, o.o_orderkey
-         ) AS BIGINT) AS order_rank
-  FROM orders o
-  WHERE o.o_custkey = c.c_custkey
-  ORDER BY o.o_totalprice DESC, o.o_orderkey
-  LIMIT 3
+  SELECT o_orderkey, total_cents, order_rank
+  FROM (
+    SELECT o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+           CAST(row_number() OVER (
+             ORDER BY o.o_totalprice DESC, o.o_orderkey
+           ) AS BIGINT) AS order_rank
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+  ) ranked
+  WHERE order_rank <= 3
 ) t
 WHERE c.c_acctbal > 0.0
 """
@@ -1121,8 +1123,15 @@ def lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same window top-k plan rather than re-running the inner query
     per customer (Spark plans a LateralJoin whose inner is evaluated
     once as a ranked join — no iteration). Money in integer cents;
-    rank ties broken by orderkey so the LIMIT cut is deterministic.
-    The oracle runs the identical LATERAL text."""
+    rank ties broken by orderkey so the cut is deterministic. The
+    oracle runs the identical LATERAL text.
+
+    The per-customer cut is the rank filter ``order_rank <= 3``, not
+    ``ORDER BY .. LIMIT 3``: Spark's decorrelation keeps a lateral
+    LIMIT's ORDER BY as a GLOBAL range sort of the whole orders table
+    feeding the window (caught by tools/plan_audit.py) — the rank
+    form decorrelates to the same per-key window with only the hash
+    exchange, identical rows."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_LATERAL_SQL)

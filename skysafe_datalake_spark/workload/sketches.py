@@ -232,17 +232,20 @@ def countmin_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("exact_cnt")
     )
     top = exact.orderBy(F.desc("exact_cnt"), "word").limit(_CMS_TOP)
-    lookups = None
-    top_h = top.withColumn("h", F.md5("word"))
-    for r in range(_CMS_D):
-        part = top_h.select(
-            "word",
-            F.lit(r).alias("rid"),
-            F.expr(_cms_bucket_sql("h", r)).alias("bucket"),
-        )
-        lookups = part if lookups is None else lookups.unionAll(part)
+    # The d lookup coordinates come from ONE inline-exploded array on
+    # the top-k rows, carrying exact_cnt through — a per-row unionAll
+    # of the same subplan would re-plan the top-k (and its full
+    # corpus aggregation underneath) once per CMS row, and the extra
+    # copies plan as global sort-limit fallbacks instead of
+    # TakeOrderedAndProject (caught by tools/plan_audit.py: 4 corpus
+    # scans and 3 global sorts where 1 TopK suffices).
+    lookup_coords = ", ".join(
+        f"struct({r} AS rid, {_cms_bucket_sql('h', r)} AS bucket)"
+        for r in range(_CMS_D)
+    )
     return (
-        top.join(lookups, "word")
+        top.withColumn("h", F.md5("word"))
+        .select("word", "exact_cnt", F.expr(f"inline(array({lookup_coords}))"))
         .join(F.broadcast(cells), ["rid", "bucket"])
         .groupBy("word", "exact_cnt")
         .agg(F.min("cnt").alias("cms_cnt"))
