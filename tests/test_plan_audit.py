@@ -19,7 +19,10 @@ from tools.plan_audit import ADJUDICATED, PATTERNS, audit_all
 
 
 def test_registry_plans_have_no_unadjudicated_antipatterns(spark):
-    hits, stale, errors = audit_all(spark, SF_SMALL)
+    hits, stale, errors, budget = audit_all(spark, SF_SMALL)
+    assert budget and all(
+        s >= 0 and b >= 0 for s, b in budget.values()
+    )
     assert not errors, f"queries failed to build a plan: {errors}"
     bad = [(h.query, h.pattern) for h in hits if h.justification is None]
     assert not bad, (

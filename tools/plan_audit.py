@@ -212,22 +212,45 @@ def _plan_text(df) -> str:
     return buf.getvalue()
 
 
+def _shuffle_counts(plan: str) -> tuple[int, int]:
+    """(shuffle exchanges, broadcast exchanges) in a simple-mode plan.
+
+    Informational shuffle budget: plans are captured pre-execution at
+    the audit SF, so the counts are the STATIC plan's — a diffable
+    per-query baseline (a refactor that adds an Exchange shows up as
+    a +1 here long before it costs minutes at scale), not a claim
+    about what AQE finally runs.
+    """
+    shuffles = len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|"
+            r"SinglePartition|RoundRobinPartitioning)",
+            plan,
+        )
+    )
+    broadcasts = len(re.findall(r"BroadcastExchange", plan))
+    return shuffles, broadcasts
+
+
 def audit_all(
     spark, sf_dir: str = SF_DIR_DEFAULT, names: list[str] | None = None
-) -> tuple[list[Hit], list[tuple[str, str]], dict[str, str]]:
-    """(hits, stale_adjudications, errors) over the registry.
+) -> tuple[list[Hit], list[tuple[str, str]], dict[str, str], dict]:
+    """(hits, stale_adjudications, errors, shuffle_budget) over the
+    registry.
 
     ``hits`` carries every pattern occurrence (adjudicated or not);
     ``stale`` lists (query, pattern) allowlist entries that no longer
     match; ``errors`` maps query -> exception text for queries whose
     construction failed (the audit reports rather than dies, so one
-    broken query can't hide the other 182 plans).
+    broken query can't hide the other 182 plans); ``shuffle_budget``
+    maps query -> (shuffle exchanges, broadcast exchanges).
     """
     from skysafe_datalake_spark.workload import QUERIES
 
     names = list(QUERIES) if names is None else names
     hits: list[Hit] = []
     errors: dict[str, str] = {}
+    budget: dict[str, tuple[int, int]] = {}
     seen: set[tuple[str, str]] = set()
     for name in names:
         try:
@@ -235,6 +258,7 @@ def audit_all(
         except Exception as exc:  # report, don't die mid-sweep
             errors[name] = f"{type(exc).__name__}: {exc}"
             continue
+        budget[name] = _shuffle_counts(plan)
         for pat, (rx, _why) in PATTERNS.items():
             if re.search(rx, plan):
                 seen.add((name, pat))
@@ -247,7 +271,7 @@ def audit_all(
         for p in pats
         if q in names and (q, p) not in seen
     ]
-    return hits, stale, errors
+    return hits, stale, errors, budget
 
 
 def write_markdown(
@@ -257,6 +281,7 @@ def write_markdown(
     errors: dict[str, str],
     n_queries: int,
     sf_dir: str,
+    budget: dict[str, tuple[int, int]] | None = None,
 ) -> None:
     bad = [h for h in hits if h.justification is None]
     ok = [h for h in hits if h.justification is not None]
@@ -301,6 +326,24 @@ def write_markdown(
     if errors:
         lines += ["", "## Build errors", ""]
         lines += [f"- `{q}`: {e}" for q, e in errors.items()]
+    if budget:
+        total_s = sum(s for s, _ in budget.values())
+        total_b = sum(b for _, b in budget.values())
+        top = sorted(budget.items(), key=lambda kv: -kv[1][0])[:15]
+        lines += [
+            "",
+            "## Shuffle budget (informational, static plans at audit SF)",
+            "",
+            f"{total_s} shuffle exchanges / {total_b} broadcast "
+            f"exchanges across {len(budget)} plans "
+            f"(mean {total_s / len(budget):.1f} shuffles/query). "
+            "Top plans by shuffle count — a +1 here in a future round "
+            "is a shuffle regression to explain:",
+            "",
+            "| query | shuffles | broadcasts |",
+            "|---|---|---|",
+        ]
+        lines += [f"| `{q}` | {s} | {b} |" for q, (s, b) in top]
     lines.append("")
     with open(path, "w") as f:
         f.write("\n".join(lines))
@@ -313,10 +356,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", SF_DIR_DEFAULT)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="plan-audit", master=f"local[{cpus}]")
-    hits, stale, errors = audit_all(spark, sf_dir)
+    hits, stale, errors, budget = audit_all(spark, sf_dir)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(repo_root, "PLAN_AUDIT.md")
-    write_markdown(out, hits, stale, errors, len(QUERIES), sf_dir)
+    write_markdown(out, hits, stale, errors, len(QUERIES), sf_dir, budget)
     bad = [h for h in hits if h.justification is None]
     print(
         f"# {len(QUERIES)} queries audited: {len(hits)} hits, "
