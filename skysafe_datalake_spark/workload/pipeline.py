@@ -504,6 +504,12 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
+        # Memory sink is SAFE here (unlike the per-row streaming
+        # queries, which 128x-OOMed on it and now use file sinks):
+        # this output is the aggregate itself — hour buckets x
+        # categories, fixed by the time range and dim table, not by
+        # input volume — and complete-mode replacement needs a table
+        # sink anyway.
         q = (
             agg.writeStream.format("memory")
             .queryName(qn)
@@ -653,7 +659,6 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
         F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_tws_")
-    qn = f"tws_{uuid.uuid4().hex[:8]}"
     # State-store sizing: see streaming.driver.stateful_shuffle_partitions
     # (floor 8 at replay volume; grows with row count so a 64x input
     # does not serialize on 8 Python state-update workers). The row
@@ -678,18 +683,23 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{tmp}/in")
         )
+        # File sink, not a memory sink: the processor emits one row
+        # per (key, micro-batch), so output grows with the key space —
+        # a memory sink pins all of it on the driver heap (the 128x
+        # scale smoke OOMed the JVM on the sibling dedup query's
+        # memory sink). Parquet out + read-back stays executor-side.
         q = (
             _stateful(stream)
-            .writeStream.format("memory")
-            .queryName(qn)
-            .outputMode("append")
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
             .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         out = (
-            spark.table(qn)
+            spark.read.parquet(f"{tmp}/out")
             .groupBy("user_id")
             .agg(
                 F.max("n_events").alias("n_events"),
@@ -744,7 +754,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_ssj_")
-    qn = f"ssj_{uuid.uuid4().hex[:8]}"
     # Stateful streaming gets NO AQE coalescing — size the state
     # shuffle to the STREAMED volume (clicks + purchases, observed on
     # the replay writes themselves at zero extra scans):
@@ -798,16 +807,22 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
             ).cast("bigint").alias("delay_s"),
         )
+        # File sink, not a memory sink: join output grows with the
+        # input (click x purchase matches), and a memory sink holds
+        # EVERY result row on the driver heap for the life of the
+        # session — a collect() in disguise. The 128x scale smoke
+        # OOMed the JVM on exactly this shape (sibling dedup query);
+        # parquet out + read-back keeps the result executor-side.
         q = (
-            joined.writeStream.format("memory")
-            .queryName(qn)
-            .outputMode("append")
+            joined.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
             .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
-        return spark.table(qn).localCheckpoint(eager=True)
+        return spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1308,7 +1323,6 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = e.unionByName(e.where(F.col("event_id") % 3 == 0))
     tmp = tempfile.mkdtemp(prefix="skysafe_sdd_")
-    qn = f"sdd_{uuid.uuid4().hex[:8]}"
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Sized to input rows (the duplicated stream), floor 4:
     # streaming.driver.stateful_shuffle_partitions.
@@ -1329,17 +1343,23 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id bigint, ts timestamp, user_id bigint, event_type string"
         ).parquet(f"{tmp}/in")
         deduped = streaming_dedup(stream, id_col="event_id", watermark="2 hours")
+        # File sink, not a memory sink: the deduped stream is
+        # per-event output (~input-sized), and a memory sink pins
+        # every row on the driver heap — the 128x scale smoke (170M
+        # events) OOMed the JVM here. Parquet out + read-back keeps
+        # the result executor-side; the survivor-count aggregation
+        # runs on the read-back.
         q = (
-            deduped.writeStream.format("memory")
-            .queryName(qn)
-            .outputMode("append")
+            deduped.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
             .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
         out = (
-            spark.table(qn)
+            spark.read.parquet(f"{tmp}/out")
             .groupBy("event_id")
             .agg(F.count("*").cast("bigint").alias("n_after_dedup"))
         )
