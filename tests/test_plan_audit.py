@@ -35,6 +35,33 @@ def test_registry_plans_have_no_unadjudicated_antipatterns(spark):
     )
 
 
+def test_memory_sinks_are_allowlisted():
+    """A streaming memory sink pins every output row on the driver
+    heap for the life of the session — a collect() in disguise that
+    the plan audit cannot see (the audited frame is the post-stream
+    read-back). The 128x scale smoke OOMed the JVM on exactly this
+    (170M events through streaming_dedup_watermark's memory sink), so
+    the rule is now a source gate: memory sinks are allowed ONLY
+    where the streamed output is the aggregate itself, bounded
+    independent of input volume, and each site is pinned here."""
+    from pathlib import Path
+
+    allowed = {
+        # complete-mode hour x category cells: volume-independent
+        "skysafe_datalake_spark/workload/pipeline.py": 1,
+    }
+    root = Path(__file__).resolve().parents[1]
+    found: dict[str, int] = {}
+    for path in (root / "skysafe_datalake_spark").rglob("*.py"):
+        n = path.read_text().count('format("memory")')
+        if n:
+            found[str(path.relative_to(root))] = n
+    assert found == allowed, (
+        "new streaming memory sink(s) — outputs on the driver heap "
+        f"scale with input; use a file sink + read-back: {found}"
+    )
+
+
 def test_adjudications_name_a_bound():
     """Every allowlist entry must say WHY it is safe at scale — a
     non-empty justification naming a bound (rows / 1-row / k / fixed
