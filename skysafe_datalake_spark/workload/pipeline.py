@@ -578,8 +578,6 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
     lives in the store partitioned by user_id across executors, each
     batch touches only the keys it contains, no driver state; money
     in integer cents so merge order can't produce float drift."""
-    import uuid
-
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -698,8 +696,10 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
             .start()
         )
         q.awaitTermination()
+        # Explicit schema on the read-back: a zero-row replay leaves
+        # only _spark_metadata under out/ and schema inference fails.
         out = (
-            spark.read.parquet(f"{tmp}/out")
+            spark.read.schema(out_schema).parquet(f"{tmp}/out")
             .groupBy("user_id")
             .agg(
                 F.max("n_events").alias("n_events"),
@@ -746,8 +746,6 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: state is hash-partitioned by user_id; per row the
     join probes one key's bounded time-band buffer. delay_s is
     integer seconds — no float drift."""
-    import uuid
-
     from skysafe_datalake_spark.streaming.driver import interval_join_streams
 
     e = load(spark, sf_dir, "events").select(
@@ -822,7 +820,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        return spark.read.parquet(f"{tmp}/out").localCheckpoint(eager=True)
+        # Explicit schema: a zero-row replay writes only
+        # _spark_metadata and inference would fail.
+        return (
+            spark.read.schema(joined.schema)
+            .parquet(f"{tmp}/out")
+            .localCheckpoint(eager=True)
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1019,8 +1023,9 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # Explicit schema guards the zero-row-replay read-back.
         out = (
-            spark.read.parquet(f"{tmp}/out")
+            spark.read.schema(joined.schema).parquet(f"{tmp}/out")
             .where(F.col("click_id") >= 0)
         )
         return out.localCheckpoint(eager=True)
@@ -1274,7 +1279,8 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        out = spark.read.parquet(f"{tmp}/out").where(
+        # Explicit schema guards the zero-row-replay read-back.
+        out = spark.read.schema(joined.schema).parquet(f"{tmp}/out").where(
             (F.col("click_id").isNull() | (F.col("click_id") >= 0))
             & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
         )
@@ -1314,8 +1320,6 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream cannot have. Under availableNow the surviving set equals
     batch DISTINCT (the oracle); the output re-aggregates per id to
     prove exactly one survivor per duplicated key."""
-    import uuid
-
     from skysafe_datalake_spark.streaming.driver import streaming_dedup
 
     e = load(spark, sf_dir, "events").select(
@@ -1358,8 +1362,9 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # Explicit schema guards the zero-row-replay read-back.
         out = (
-            spark.read.parquet(f"{tmp}/out")
+            spark.read.schema(deduped.schema).parquet(f"{tmp}/out")
             .groupBy("event_id")
             .agg(F.count("*").cast("bigint").alias("n_after_dedup"))
         )

@@ -28,6 +28,19 @@ the allowlist cannot rot in either direction. ``python
 tools/plan_audit.py`` writes the judge-readable artifact
 ``PLAN_AUDIT.md`` with every accepted exception and its bound.
 
+The per-query shuffle/broadcast exchange counts are additionally a
+PINNED REGRESSION GATE, not just an appendix: ``PLAN_BUDGET.json`` at
+the repo root records every query's static-plan counts, and
+``tests/test_plan_audit.py::test_shuffle_budget_pinned`` fails any
+query whose measured counts drift from the snapshot. Accepting a
+legitimate increase requires re-running ``python tools/plan_audit.py
+--update-budget`` AND adding a dated note to the query's snapshot
+entry — the gate enforces the note mechanically by keeping the lowest
+count ever seen (``baseline_shuffles``) beside the current one. Plan
+shape is noise-free where wall-clock on a shared host is not: the
+round-7 countmin fix (a 4x re-plan of the corpus aggregate) would
+have been a +3 in this file at introduction time.
+
 Plans are captured AFTER whatever work a query does eagerly at
 construction time, so for streaming queries (which run their stream in
 ``availableNow`` replay and return the sink read-back) the audited
@@ -269,9 +282,120 @@ def audit_all(
         (q, p)
         for q, pats in ADJUDICATED.items()
         for p in pats
-        if q in names and (q, p) not in seen
+        # A query that failed to BUILD never populates `seen`; its
+        # adjudications are unknown, not stale — reporting them would
+        # double-blame the allowlist for a build error.
+        if q in names and q not in errors and (q, p) not in seen
     ]
     return hits, stale, errors, budget
+
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET_PATH = os.path.join(REPO_ROOT, "PLAN_BUDGET.json")
+
+# An accepted increase must carry a note starting with an ISO date.
+DATED_NOTE = re.compile(r"^\d{4}-\d{2}-\d{2}\b")
+
+
+def load_budget(path: str = BUDGET_PATH) -> dict:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"_meta": {}, "queries": {}}
+
+
+def check_budget(
+    measured: dict[str, tuple[int, int]], snapshot: dict
+) -> list[str]:
+    """Violations of the pinned shuffle budget (empty = gate green).
+
+    Rules: (1) the snapshot must cover exactly the measured query set;
+    (2) each query's measured (shuffles, broadcasts) must equal the
+    snapshot's; (3) a snapshot whose current count exceeds its lowest-
+    ever count (``baseline_shuffles``) must carry a dated note — so an
+    increase can never be waved through by a bare re-pin."""
+    problems: list[str] = []
+    snap_q = snapshot.get("queries", {})
+    for name in sorted(set(measured) - set(snap_q)):
+        problems.append(
+            f"{name}: not in PLAN_BUDGET.json (new query? run "
+            "`python tools/plan_audit.py --update-budget`)"
+        )
+    for name in sorted(set(snap_q) - set(measured)):
+        problems.append(
+            f"{name}: in PLAN_BUDGET.json but not in the registry "
+            "(removed query? run --update-budget)"
+        )
+    for name in sorted(set(measured) & set(snap_q)):
+        s, b = measured[name]
+        ent = snap_q[name]
+        if s != ent.get("shuffles") or b != ent.get("broadcasts"):
+            problems.append(
+                f"{name}: plan shape drifted — measured "
+                f"{s} shuffles/{b} broadcasts vs pinned "
+                f"{ent.get('shuffles')}/{ent.get('broadcasts')}. "
+                "If intended, run --update-budget"
+                + (
+                    " and add a dated note explaining the increase"
+                    if s > ent.get("shuffles", 0)
+                    else ""
+                )
+            )
+        base = ent.get("baseline_shuffles", ent.get("shuffles"))
+        if ent.get("shuffles", 0) > base and not DATED_NOTE.match(
+            ent.get("note", "")
+        ):
+            problems.append(
+                f"{name}: pinned shuffles ({ent.get('shuffles')}) exceed "
+                f"the lowest-ever count ({base}) without a dated note — "
+                "add `\"note\": \"YYYY-MM-DD: why\"` to the entry"
+            )
+    return problems
+
+
+def update_budget(
+    measured: dict[str, tuple[int, int]],
+    path: str = BUDGET_PATH,
+    sf_dir: str = SF_DIR_DEFAULT,
+) -> dict:
+    """Re-pin the snapshot to the measured counts, preserving notes
+    and keeping ``baseline_shuffles`` at the lowest count ever seen
+    (so the dated-note-on-increase rule survives re-pins)."""
+    import json
+
+    snap = load_budget(path)
+    old_q = snap.get("queries", {})
+    new_q: dict[str, dict] = {}
+    for name in sorted(measured):
+        s, b = measured[name]
+        old = old_q.get(name, {})
+        base = min(s, old.get("baseline_shuffles", s))
+        ent: dict = {"shuffles": s, "broadcasts": b}
+        if base != s:
+            ent["baseline_shuffles"] = base
+        if old.get("note"):
+            ent["note"] = old["note"]
+        new_q[name] = ent
+    out = {
+        "_meta": {
+            "sf_dir": sf_dir,
+            "what": (
+                "Pinned static-plan shuffle/broadcast exchange counts "
+                "per registry query (tools/plan_audit.py). Gate: "
+                "tests/test_plan_audit.py::test_shuffle_budget_pinned. "
+                "Increases need a dated note; re-pin with "
+                "`python tools/plan_audit.py --update-budget`."
+            ),
+        },
+        "queries": new_q,
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return out
 
 
 def write_markdown(
@@ -332,13 +456,16 @@ def write_markdown(
         top = sorted(budget.items(), key=lambda kv: -kv[1][0])[:15]
         lines += [
             "",
-            "## Shuffle budget (informational, static plans at audit SF)",
+            "## Shuffle budget (PINNED gate — PLAN_BUDGET.json)",
             "",
             f"{total_s} shuffle exchanges / {total_b} broadcast "
             f"exchanges across {len(budget)} plans "
             f"(mean {total_s / len(budget):.1f} shuffles/query). "
-            "Top plans by shuffle count — a +1 here in a future round "
-            "is a shuffle regression to explain:",
+            "Every per-query count is pinned in `PLAN_BUDGET.json`; "
+            "`tests/test_plan_audit.py::test_shuffle_budget_pinned` "
+            "fails on any drift, and an increase additionally needs a "
+            "dated note in the snapshot entry. Top plans by shuffle "
+            "count:",
             "",
             "| query | shuffles | broadcasts |",
             "|---|---|---|",
@@ -353,22 +480,28 @@ def main() -> None:
     from skysafe_datalake_spark.session import get_spark
     from skysafe_datalake_spark.workload import QUERIES
 
+    do_update = "--update-budget" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", SF_DIR_DEFAULT)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="plan-audit", master=f"local[{cpus}]")
     hits, stale, errors, budget = audit_all(spark, sf_dir)
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out = os.path.join(repo_root, "PLAN_AUDIT.md")
+    out = os.path.join(REPO_ROOT, "PLAN_AUDIT.md")
     write_markdown(out, hits, stale, errors, len(QUERIES), sf_dir, budget)
+    if do_update:
+        update_budget(budget, sf_dir=sf_dir)
+        print(f"# budget re-pinned -> {BUDGET_PATH}", file=sys.stderr)
+    drift = check_budget(budget, load_budget())
+    for p in drift:
+        print(f"# BUDGET: {p}", file=sys.stderr)
     bad = [h for h in hits if h.justification is None]
     print(
         f"# {len(QUERIES)} queries audited: {len(hits)} hits, "
         f"{len(bad)} unadjudicated, {len(stale)} stale, "
-        f"{len(errors)} build errors -> {out}",
+        f"{len(errors)} build errors, {len(drift)} budget drifts -> {out}",
         file=sys.stderr,
     )
     spark.stop()
-    sys.exit(1 if (bad or stale or errors) else 0)
+    sys.exit(1 if (bad or stale or errors or drift) else 0)
 
 
 if __name__ == "__main__":
