@@ -7,19 +7,44 @@ unbounded nested-loop joins, fact-sized global sorts) and fails on
 any occurrence that is not adjudicated by name with the bound that
 makes it safe — and on any adjudication gone stale, so the allowlist
 can't rot in either direction.
+
+It also pins the SHAPE of every plan: per-query shuffle/broadcast
+exchange counts are snapshotted in PLAN_BUDGET.json and
+``test_shuffle_budget_pinned`` fails on any drift. Plan shape is the
+noise-free regression signal this load-noisy host can't give through
+wall-clock — the round-7 countmin fix (a 4x re-plan of the corpus
+aggregate) would have been a +3 in the snapshot at introduction time.
 """
 
 from __future__ import annotations
 
+import ast
+import json
 import re
+
+import pytest
 
 from tests.conftest import SF_SMALL
 
-from tools.plan_audit import ADJUDICATED, PATTERNS, audit_all
+from tools.plan_audit import (
+    ADJUDICATED,
+    PATTERNS,
+    audit_all,
+    check_budget,
+    load_budget,
+    update_budget,
+)
 
 
-def test_registry_plans_have_no_unadjudicated_antipatterns(spark):
-    hits, stale, errors, budget = audit_all(spark, SF_SMALL)
+@pytest.fixture(scope="module")
+def audit(spark):
+    """One registry-wide sweep shared by the anti-pattern and budget
+    gates (explaining all ~183 plans is the expensive part)."""
+    return audit_all(spark, SF_SMALL)
+
+
+def test_registry_plans_have_no_unadjudicated_antipatterns(audit):
+    hits, stale, errors, budget = audit
     assert budget and all(
         s >= 0 and b >= 0 for s, b in budget.values()
     )
@@ -35,32 +60,144 @@ def test_registry_plans_have_no_unadjudicated_antipatterns(spark):
     )
 
 
+# ── pinned shuffle budget ──────────────────────────────────────────
+
+
+def test_shuffle_budget_pinned(audit):
+    """Every query's static-plan (shuffles, broadcasts) must equal the
+    committed PLAN_BUDGET.json snapshot — a refactor that adds an
+    Exchange shows up as a +1 here long before it costs minutes at
+    100 TB. Accepting a change: `python tools/plan_audit.py
+    --update-budget` (an INCREASE additionally needs a dated note in
+    the entry; check_budget enforces that via baseline_shuffles)."""
+    _hits, _stale, errors, budget = audit
+    assert not errors, f"queries failed to build a plan: {errors}"
+    problems = check_budget(budget, load_budget())
+    assert problems == [], (
+        "plan-shape drift vs PLAN_BUDGET.json (if intended, re-pin "
+        "with `python tools/plan_audit.py --update-budget` and add a "
+        f"dated note for any increase):\n" + "\n".join(problems)
+    )
+
+
+def _snap(queries: dict) -> dict:
+    return {"_meta": {}, "queries": queries}
+
+
+def test_budget_detects_drift_and_coverage_gaps():
+    """Pure-Python negative battery: a doctored snapshot proves the
+    gate actually fails on each drift class."""
+    pinned = _snap(
+        {"q": {"shuffles": 2, "broadcasts": 1, "baseline_shuffles": 2}}
+    )
+    # clean tree: green
+    assert check_budget({"q": (2, 1)}, pinned) == []
+    # +1 shuffle: drift, and the message demands the dated note
+    probs = check_budget({"q": (3, 1)}, pinned)
+    assert len(probs) == 1 and "drifted" in probs[0]
+    assert "dated note" in probs[0]
+    # -1 shuffle: still a drift (the pin is exact), but no note demand
+    probs = check_budget({"q": (1, 1)}, pinned)
+    assert len(probs) == 1 and "dated note" not in probs[0]
+    # broadcast drift alone is also a drift
+    assert check_budget({"q": (2, 2)}, pinned)
+    # unpinned new query / pinned-but-removed query
+    assert any(
+        "not in PLAN_BUDGET.json" in p
+        for p in check_budget({"q": (2, 1), "new_q": (0, 0)}, pinned)
+    )
+    assert any(
+        "not in the registry" in p
+        for p in check_budget({}, pinned)
+    )
+
+
+def test_budget_missing_snapshot_is_one_actionable_line():
+    """An absent/empty snapshot reports ONE `--update-budget` line, not
+    |registry| copies of 'not in PLAN_BUDGET.json' drowning the real
+    audit output (the round-8 broken-by-default failure mode)."""
+    probs = check_budget({"a": (1, 0), "b": (2, 0)}, _snap({}))
+    assert len(probs) == 1 and "--update-budget" in probs[0]
+
+
+def test_budget_malformed_entry_reported_not_raised():
+    """A hand-edited entry missing its counts is a reported problem,
+    not a TypeError from comparing against None."""
+    probs = check_budget({"q": (1, 0)}, _snap({"q": {"note": "oops"}}))
+    assert len(probs) == 1 and "malformed" in probs[0]
+
+
+def test_budget_increase_then_repin_requires_dated_note(tmp_path):
+    """The gate's central claim: a shuffle increase can NOT be waved
+    through by a bare re-pin. Round 8's update_budget defaulted a
+    missing baseline to the NEW count, so the first regression became
+    its own baseline — this walks the exact increase→re-pin→note path
+    that bug broke."""
+    path = str(tmp_path / "PLAN_BUDGET.json")
+    # initial pin at 2 shuffles: green, baseline persisted
+    update_budget({"q": (2, 1)}, path=path)
+    snap = load_budget(path)
+    assert snap["queries"]["q"]["baseline_shuffles"] == 2
+    assert check_budget({"q": (2, 1)}, snap) == []
+    # regression to 3: drift flagged
+    assert check_budget({"q": (3, 1)}, snap)
+    # bare re-pin: baseline survives at 2 and the note rule fires
+    update_budget({"q": (3, 1)}, path=path)
+    snap = load_budget(path)
+    assert snap["queries"]["q"]["shuffles"] == 3
+    assert snap["queries"]["q"]["baseline_shuffles"] == 2
+    probs = check_budget({"q": (3, 1)}, snap)
+    assert len(probs) == 1 and "without a dated note" in probs[0]
+    # an undated note does not clear it
+    snap["queries"]["q"]["note"] = "needed for the new agg"
+    assert check_budget({"q": (3, 1)}, snap)
+    # a dated note does — and survives the next re-pin
+    snap["queries"]["q"]["note"] = "2026-08-15: extra agg exchange"
+    assert check_budget({"q": (3, 1)}, snap) == []
+    with open(path, "w") as f:
+        json.dump(snap, f)
+    update_budget({"q": (3, 1)}, path=path)
+    snap = load_budget(path)
+    assert snap["queries"]["q"]["note"].startswith("2026-08-15")
+    assert snap["queries"]["q"]["baseline_shuffles"] == 2
+    assert check_budget({"q": (3, 1)}, snap) == []
+    # recovery to 2 re-baselines cleanly (lowest-ever stays 2)
+    update_budget({"q": (2, 1)}, path=path)
+    snap = load_budget(path)
+    assert snap["queries"]["q"]["baseline_shuffles"] == 2
+    assert check_budget({"q": (2, 1)}, snap) == []
+
+
+# ── streaming memory-sink source gate ──────────────────────────────
+
 _MEMORY_SINK = re.compile(r"\.format\(\s*([\"'])memory\1\s*\)")
-_DEF = re.compile(r"^(\s*)def\s+(\w+)")
 
 
 def _memory_sink_sites(root):
     """(relpath, enclosing function) for every memory-sink literal,
     tolerant of quote style and whitespace. The enclosing function is
-    the closest preceding ``def`` at a shallower indent than the
-    match, so the allowlist pins WHERE the sink lives, not a bare
-    per-file count a same-file swap could hide behind."""
+    resolved from the AST (innermost FunctionDef whose span contains
+    the line), so a sink inside an indented module-level block after a
+    function is `<module>`, not misattributed to that function."""
     sites = []
     for path in sorted(root.rglob("*.py")):
-        lines = path.read_text().splitlines()
-        defs = []  # (lineno, indent, name), in order
-        for i, line in enumerate(lines):
-            m = _DEF.match(line)
-            if m:
-                defs.append((i, len(m.group(1)), m.group(2)))
-        for i, line in enumerate(lines):
+        text = path.read_text()
+        if not _MEMORY_SINK.search(text):
+            continue
+        spans = [
+            (node.lineno, node.end_lineno, node.name)
+            for node in ast.walk(ast.parse(text))
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for lineno, line in enumerate(text.splitlines(), start=1):
             if not _MEMORY_SINK.search(line):
                 continue
-            indent = len(line) - len(line.lstrip())
-            fn = "<module>"
-            for dline, dindent, dname in defs:
-                if dline < i and dindent < indent:
-                    fn = dname
+            enclosing = [s for s in spans if s[0] <= lineno <= s[1]]
+            fn = (
+                max(enclosing, key=lambda s: s[0])[2]
+                if enclosing
+                else "<module>"
+            )
             sites.append((str(path.relative_to(root.parent)), fn))
     return sorted(sites)
 
@@ -94,6 +231,30 @@ def test_memory_sinks_are_allowlisted():
         "scale with input; use a file sink + read-back, or pin the "
         f"new bounded site here with its reason: {found}"
     )
+
+
+def test_memory_sink_site_attribution_is_ast_accurate(tmp_path):
+    """Regression for the indent-heuristic bug: a memory sink in an
+    indented module-level block following a function must attribute to
+    <module>, a nested def to the innermost function."""
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    (pkg / "mod.py").write_text(
+        "def unrelated():\n"
+        "    return 1\n"
+        "\n"
+        "with open('/dev/null') as f:\n"
+        "    x = w.format('memory')\n"
+        "\n"
+        "def outer():\n"
+        "    def inner():\n"
+        '        return w.format("memory")\n'
+        "    return inner\n"
+    )
+    assert _memory_sink_sites(pkg) == [
+        ("pkg/mod.py", "<module>"),
+        ("pkg/mod.py", "inner"),
+    ]
 
 
 def test_adjudications_name_a_bound():

@@ -319,6 +319,15 @@ def check_budget(
     increase can never be waved through by a bare re-pin."""
     problems: list[str] = []
     snap_q = snapshot.get("queries", {})
+    if not snap_q:
+        # One actionable line instead of |registry| copies of "not in
+        # PLAN_BUDGET.json" when the snapshot is missing/empty (round 8
+        # shipped the gate without the snapshot and drowned the real
+        # audit signal in 183 budget lines).
+        return [
+            "PLAN_BUDGET.json missing or empty — generate and commit "
+            "it: `python tools/plan_audit.py --update-budget`"
+        ]
     for name in sorted(set(measured) - set(snap_q)):
         problems.append(
             f"{name}: not in PLAN_BUDGET.json (new query? run "
@@ -332,6 +341,14 @@ def check_budget(
     for name in sorted(set(measured) & set(snap_q)):
         s, b = measured[name]
         ent = snap_q[name]
+        if "shuffles" not in ent or "broadcasts" not in ent:
+            # Hand-edited snapshot entry missing its counts: report it
+            # instead of TypeError-ing on a None comparison below.
+            problems.append(
+                f"{name}: malformed PLAN_BUDGET.json entry (missing "
+                "'shuffles'/'broadcasts') — re-pin with --update-budget"
+            )
+            continue
         if s != ent.get("shuffles") or b != ent.get("broadcasts"):
             problems.append(
                 f"{name}: plan shape drifted — measured "
@@ -344,7 +361,7 @@ def check_budget(
                     else ""
                 )
             )
-        base = ent.get("baseline_shuffles", ent.get("shuffles"))
+        base = ent.get("baseline_shuffles", ent.get("shuffles", 0))
         if ent.get("shuffles", 0) > base and not DATED_NOTE.match(
             ent.get("note", "")
         ):
@@ -372,10 +389,13 @@ def update_budget(
     for name in sorted(measured):
         s, b = measured[name]
         old = old_q.get(name, {})
-        base = min(s, old.get("baseline_shuffles", s))
-        ent: dict = {"shuffles": s, "broadcasts": b}
-        if base != s:
-            ent["baseline_shuffles"] = base
+        # Lowest count ever seen. The fallback for a pre-existing entry
+        # with no recorded baseline is the OLD pinned count, not the new
+        # measurement — otherwise the FIRST regression re-pinned via
+        # --update-budget would silently become its own baseline and the
+        # dated-note rule in check_budget would never fire (round-8 bug).
+        base = min(s, old.get("baseline_shuffles", old.get("shuffles", s)))
+        ent: dict = {"shuffles": s, "broadcasts": b, "baseline_shuffles": base}
         if old.get("note"):
             ent["note"] = old["note"]
         new_q[name] = ent
