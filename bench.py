@@ -48,11 +48,20 @@ it was host load. Every run now records, in both the stdout line
 Reading it: the run does the cross-round comparison itself (round 7)
 — `noise.canary_ratio_vs_prev` is this run's canary min over the most
 recent prior round's recorded min, `noise.noisy_host` flags ratios
-past 1.5x, and a `# canary min ...` stderr line spells it out. Within
-a run, per-pass canary spread is the noise floor for single-query
-samples. The detail file also carries `e2e_stage_sec` — per-stage
-wall seconds inside the composite `batch_pipeline_e2e` row, so a
-regression there is attributable to a DAG stage.
+past 1.25x, and a `# canary min ...` stderr line spells it out.
+Within a run, per-pass canary spread is the noise floor for
+single-query samples.
+
+Round 9 closes the loop: the run NORMALIZES every per-query delta by
+the canary ratio itself — `normalized_ratio_vs_prev` in the detail
+file maps each query to (cur/prev) ÷ canary_ratio (1.0 = unchanged
+engine cost whatever the host load did; rounds 7 and 8 each needed a
+human to do this division, in opposite directions), and queries past
+1.25x normalized at >= 0.25 s are flagged in the stdout line
+(`noise.normalized_regressions`) and on stderr. The detail file also
+carries `e2e_stage_sec` — per-stage wall seconds inside the composite
+`batch_pipeline_e2e` row, so a regression there is attributable to a
+DAG stage.
 """
 
 from __future__ import annotations
@@ -217,19 +226,31 @@ def _canary(spark) -> float:
 
 
 # Past this canary-min ratio vs the previous round, per-query deltas
-# are host speed until proven otherwise (pass-to-pass canary spread
-# on this box is ~1.5x; a cross-round shift beyond that floor marks
-# a differently-loaded host, like r6's official run at 0.149 s vs
-# the same tree's quiet run at 0.059 s).
-_NOISY_HOST_RATIO = 1.5
+# are host speed until proven otherwise. Rounds 7 (1.4x load, raw
+# ratios overstated regressions) and 8 (0.694x quieter host, raw
+# ratios flattered by ~30%) proved raw deltas mislead in BOTH
+# directions, so the flag now trips at the same 1.25x bar the
+# normalized per-query regression list uses — past it, read ONLY the
+# canary-normalized ratios.
+_NOISY_HOST_RATIO = 1.25
+
+# A query whose canary-NORMALIZED round-over-round ratio exceeds this
+# is called out as a regression (host speed already divided out).
+_NORMALIZED_REGRESSION_RATIO = 1.25
+
+# ...but only when the query is big enough to measure: below a quarter
+# second, min-of-passes samples sit inside the host's own pass-to-pass
+# jitter and the ratio is noise, not signal.
+_REGRESSION_MIN_SEC = 0.25
 
 
-def _prev_canary_min(repo_root: str, rnd: int):
-    """(min canary sec, round, filename) from the most recent prior
-    round that recorded noise telemetry, else (None, None, None).
-    Prefers the BENCH_DETAIL file (full per-pass record); falls back
-    to the driver's BENCH_r{N}.json stdout capture. Telemetry starts
-    at r6, so earlier rounds legitimately yield nothing."""
+def _prev_round_data(repo_root: str, rnd: int):
+    """(parsed JSON, round, filename) from the most recent prior round
+    that recorded noise telemetry, else (None, None, None). Prefers
+    the BENCH_DETAIL file (full per-pass record + full per-query map);
+    falls back to the driver's BENCH_r{N}.json stdout capture.
+    Telemetry starts at r6, so earlier rounds legitimately yield
+    nothing."""
     for prev in range(rnd - 1, 0, -1):
         for fname in (f"BENCH_DETAIL_r{prev:02d}.json", f"BENCH_r{prev:02d}.json"):
             path = os.path.join(repo_root, fname)
@@ -240,10 +261,60 @@ def _prev_canary_min(repo_root: str, rnd: int):
                 continue
             canaries = (data.get("noise") or {}).get("canary_sec") or []
             try:
-                return min(float(c) for c in canaries), prev, fname
+                min(float(c) for c in canaries)
             except (TypeError, ValueError):
                 continue
+            return data, prev, fname
     return None, None, None
+
+
+def _prev_canary_min(repo_root: str, rnd: int):
+    """(min canary sec, round, filename) — see _prev_round_data."""
+    data, prev, fname = _prev_round_data(repo_root, rnd)
+    if data is None:
+        return None, None, None
+    canaries = data["noise"]["canary_sec"]
+    return min(float(c) for c in canaries), prev, fname
+
+
+def _normalized_ratios(
+    cur: dict, prev: dict, canary_ratio: float | None
+) -> dict[str, float]:
+    """Per-query regression signal with host speed divided out:
+    (cur_sec / prev_sec) / canary_ratio, for every query present in
+    both rounds. The canary is a fixed-cost probe, so its cross-round
+    ratio IS the host-speed factor — dividing it out is the manual
+    arithmetic rounds 7 and 8 each needed a human for, done in the
+    artifact itself. 1.0 = unchanged engine cost regardless of how
+    differently loaded the two hosts were."""
+    if not prev or not canary_ratio or canary_ratio <= 0:
+        return {}
+    out: dict[str, float] = {}
+    for name, c in cur.items():
+        p = prev.get(name)
+        try:
+            c_f, p_f = float(c), float(p)
+        except (TypeError, ValueError):
+            continue
+        if p_f > 0 and c_f >= 0:
+            out[name] = round((c_f / p_f) / canary_ratio, 3)
+    return out
+
+
+def _flag_regressions(
+    normalized: dict[str, float],
+    cur: dict,
+    threshold: float = _NORMALIZED_REGRESSION_RATIO,
+    min_sec: float = _REGRESSION_MIN_SEC,
+) -> dict[str, float]:
+    """Queries whose normalized ratio exceeds the threshold AND whose
+    current wall time is big enough to measure, sorted worst-first."""
+    flagged = {
+        n: r
+        for n, r in normalized.items()
+        if r > threshold and float(cur.get(n, 0) or 0) >= min_sec
+    }
+    return dict(sorted(flagged.items(), key=lambda kv: -kv[1]))
 
 
 def _canary_comparison(canary_sec: list[float], repo_root: str, rnd: int) -> dict:
@@ -368,13 +439,14 @@ def main() -> None:
 
     # Cross-round host-speed line: this run's canary min vs the last
     # recorded round's, with a flag when the host is too differently
-    # loaded for per-query deltas to mean anything.
+    # loaded for RAW per-query deltas to mean anything (the normalized
+    # ratios below stay meaningful either way).
     noise.update(_canary_comparison(canary_sec, repo_root, rnd))
     prev = noise.get("prev_canary")
     if prev:
         flag = (
-            "NOISY HOST — normalize per-query deltas by the canary "
-            "ratio before reading them as regressions"
+            "NOISY HOST — raw deltas mislead; read only the "
+            "normalized ratios"
             if noise.get("noisy_host")
             else "host speed comparable"
         )
@@ -390,6 +462,47 @@ def main() -> None:
             "noise telemetry to compare against",
             file=sys.stderr,
         )
+
+    # Canary-normalized per-query deltas vs the previous recorded
+    # round: (cur/prev) ÷ canary ratio, host speed divided out. The
+    # full map goes to the detail file; flagged regressions (>1.25x
+    # normalized, ≥0.25 s) go to the stdout line and stderr so a real
+    # engine regression is visible without any manual division.
+    prev_data, prev_rnd, _prev_file = _prev_round_data(repo_root, rnd)
+    if prev_data is not None and prev_data.get("sf") not in (None, sf_val):
+        # A cross-SF ratio is volume, not regression (a local sf0.001
+        # smoke must not "regress" against the driver's sf0.1 record).
+        print(
+            f"# prev round r{prev_rnd} ran sf={prev_data.get('sf')} vs "
+            f"this run's sf={sf_val}; skipping per-query normalization",
+            file=sys.stderr,
+        )
+        prev_data = None
+    normalized = _normalized_ratios(
+        timings,
+        (prev_data or {}).get("queries") or {},
+        noise.get("canary_ratio_vs_prev"),
+    )
+    regressions = _flag_regressions(normalized, timings)
+    noise["normalized_regressions"] = regressions
+    if normalized:
+        if regressions:
+            worst = ", ".join(
+                f"{n} x{r} ({timings[n]:.2f}s)" for n, r in regressions.items()
+            )
+            print(
+                f"# normalized regressions vs r{prev_rnd} (> "
+                f"{_NORMALIZED_REGRESSION_RATIO}x after canary "
+                f"correction, >= {_REGRESSION_MIN_SEC}s): {worst}",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"# no normalized per-query regressions vs r{prev_rnd} "
+                f"(all (cur/prev)/canary <= {_NORMALIZED_REGRESSION_RATIO}x "
+                f"at >= {_REGRESSION_MIN_SEC}s)",
+                file=sys.stderr,
+            )
 
     # Stage-level attribution for the composite e2e row (the only
     # double-digit full-registry bench number): wall seconds per DAG
@@ -418,6 +531,12 @@ def main() -> None:
                     "queries": timings,
                     "samples": samples,
                     "noise": noise,
+                    # (cur/prev) ÷ canary ratio per query — 1.0 means
+                    # unchanged engine cost whatever the host load did.
+                    "normalized_ratio_vs_prev": {
+                        "vs_round": prev_rnd,
+                        "queries": normalized,
+                    } if normalized else None,
                     "e2e_stage_sec": e2e_stage_sec,
                     "all": run_all,
                 },

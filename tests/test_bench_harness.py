@@ -184,6 +184,57 @@ def test_canary_comparison_without_prior_round(tmp_path):
     assert out == {"canary_min": 0.1, "prev_canary": None}
 
 
+def test_noisy_host_threshold_matches_regression_bar():
+    # r7 (1.4x load) sat under the old 1.5x bar and still distorted
+    # every raw ratio; the flag now trips at the same 1.25x bar the
+    # normalized regression list uses.
+    assert bench._NOISY_HOST_RATIO == 1.25
+    assert bench._NORMALIZED_REGRESSION_RATIO == 1.25
+
+
+# ─────────────── canary-normalized per-query deltas ───────────────
+
+
+def test_normalized_ratios_divide_out_host_speed():
+    """The r7/r8 failure in one test: a query that took 2.0s on last
+    round's host and 1.4s now, on a host whose canary ran 0.7x, has
+    NOT regressed or improved — (1.4/2.0)/0.7 == 1.0. The same raw
+    numbers on an even-speed host (canary 1.0) are a real 0.7x win."""
+    cur = {"q": 1.4}
+    prev = {"q": 2.0}
+    assert bench._normalized_ratios(cur, prev, 0.7) == {"q": 1.0}
+    assert bench._normalized_ratios(cur, prev, 1.0) == {"q": 0.7}
+    # a real regression survives normalization: 2x slower on a 0.694x
+    # quieter host (the r8 flattery factor) reads 2.882x, not 2x
+    assert bench._normalized_ratios({"q": 4.0}, prev, 0.694) == {"q": 2.882}
+
+
+def test_normalized_ratios_edge_cases():
+    # no prev round / no canary ratio -> empty (nothing to normalize)
+    assert bench._normalized_ratios({"q": 1.0}, {}, 0.7) == {}
+    assert bench._normalized_ratios({"q": 1.0}, {"q": 1.0}, None) == {}
+    assert bench._normalized_ratios({"q": 1.0}, {"q": 1.0}, 0) == {}
+    # queries only in one round are skipped; junk values are skipped
+    out = bench._normalized_ratios(
+        {"a": 1.0, "b": 1.0, "c": 1.0},
+        {"a": 2.0, "c": None, "d": 5.0},
+        1.0,
+    )
+    assert out == {"a": 0.5}
+    # zero prev time can't ratio
+    assert bench._normalized_ratios({"q": 1.0}, {"q": 0.0}, 1.0) == {}
+
+
+def test_flag_regressions_threshold_and_floor():
+    normalized = {"big": 1.5, "small": 3.0, "fine": 1.2, "worse": 1.9}
+    cur = {"big": 2.0, "small": 0.05, "fine": 4.0, "worse": 1.0}
+    flagged = bench._flag_regressions(normalized, cur)
+    # sub-floor 'small' is jitter, 'fine' is under the bar; output is
+    # worst-first
+    assert list(flagged.items()) == [("worse", 1.9), ("big", 1.5)]
+    assert bench._flag_regressions({}, {}) == {}
+
+
 # ──────────────── scale_smoke over-scale refusal path ─────────────
 
 
