@@ -334,13 +334,45 @@ def timed(spark, sf_dir: str) -> dict[str, float | None]:
         # (recursive CTE materializes through a checkpoint) — timing
         # only the action under-reports them to near zero.
         runs = []
+        stages = []  # batch_pipeline_e2e only: per-DAG-stage wall
         for _ in range(3):
             t0 = time.perf_counter()
             df = QUERIES[n](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            if n == "batch_pipeline_e2e":
+                from skysafe_datalake_spark.plans.pipeline import (
+                    LAST_STAGE_SECONDS,
+                )
+
+                stages.append(dict(LAST_STAGE_SECONDS))
         out[n] = min(runs)
+        if stages:
+            # Keep the stage split of the run that produced the min —
+            # the composite row is only attributable if its parts come
+            # from the same (least-stalled) run the total came from.
+            E2E_STAGE_SEC[sf_dir] = stages[runs.index(min(runs))]
     return out
+
+
+# Per-stage wall seconds of batch_pipeline_e2e's min run at each scale
+# timed() saw, keyed by sf_dir — the attribution behind README's 8x
+# row (its composite ratio was a single opaque number through round 8).
+E2E_STAGE_SEC: dict[str, dict[str, float]] = {}
+
+
+def print_e2e_stage_table(small_dir: str, big_dir: str) -> None:
+    small, big = E2E_STAGE_SEC.get(small_dir), E2E_STAGE_SEC.get(big_dir)
+    if not small or not big:
+        return
+    print(f"\nbatch_pipeline_e2e stage attribution (1x vs {REPL}x):")
+    print(f"{'stage':18s} {'1x':>7s} {f'{REPL}x':>7s} {'ratio':>6s}")
+    for st in small:
+        s, b = small.get(st), big.get(st)
+        if s is None or b is None:
+            continue
+        r_txt = f"{b / s:6.1f}" if s > 0 else f"{'—':>6s}"
+        print(f"{st:18s} {s:7.2f} {b:7.2f} {r_txt}")
 
 
 def main() -> None:
@@ -375,6 +407,7 @@ def main() -> None:
             else f"{'—':>6s}"
         )
         print(f"{n:24s} {s_txt} {b_txt} {r_txt}")
+    print_e2e_stage_table(SRC, DST)
     spark.stop()
 
 

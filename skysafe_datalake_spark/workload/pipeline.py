@@ -490,8 +490,27 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_stream_static_")
     qn = f"stream_static_{uuid.uuid4().hex[:8]}"
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Every shuffle partition owns a state-store instance and AQE
+    # cannot coalesce stateful plans, so size the stream's shuffle to
+    # the observed input volume (floor 4 — the window x category state
+    # itself is a handful of cells):
+    # streaming.driver.stateful_shuffle_partitions.
+    from pyspark.sql import Observation
+
+    from skysafe_datalake_spark.streaming.driver import (
+        stateful_shuffle_partitions,
+    )
+
     try:
-        e.write.parquet(f"{tmp}/in")
+        obs = Observation()
+        e.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(
+            f"{tmp}/in"
+        )
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(stateful_shuffle_partitions(obs.get["n"], lo=4)),
+        )
         stream = spark.readStream.schema(e.schema).parquet(f"{tmp}/in")
         agg = (
             stream.withWatermark("ts", "1 hour")
@@ -528,6 +547,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.localCheckpoint(eager=True)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
