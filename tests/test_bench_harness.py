@@ -116,6 +116,9 @@ def test_stateful_sizing_pinned_at_bench_scale():
     assert stateful_shuffle_partitions(clicks + purchases + 2, lo=4) == 4
     #   streaming_dedup_watermark: events + every-3rd re-sent, lo=4
     assert stateful_shuffle_partitions(total + dup_extra, lo=4) == 4
+    #   streaming_static_join (sized in round 9): all events, lo=4 —
+    #   complete-mode hour x category cells, state is a handful of rows
+    assert stateful_shuffle_partitions(total, lo=4) == 4
 
 
 # ───────────────── cross-round canary comparison ─────────────────
