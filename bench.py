@@ -304,35 +304,65 @@ def _normalized_ratios(
 def _flag_regressions(
     normalized: dict[str, float],
     cur: dict,
+    prev: dict | None = None,
     threshold: float = _NORMALIZED_REGRESSION_RATIO,
     min_sec: float = _REGRESSION_MIN_SEC,
 ) -> dict[str, float]:
     """Queries whose normalized ratio exceeds the threshold AND whose
-    current wall time is big enough to measure, sorted worst-first."""
+    wall time is big enough to measure in BOTH rounds (a jitter-lucky
+    0.05 s prev sample against a 0.30 s current one is a 6x ratio made
+    entirely of the noise the floor exists to suppress), worst-first."""
+    prev = prev or {}
+
+    def _big(d, n):
+        try:
+            return float(d.get(n, 0) or 0) >= min_sec
+        except (TypeError, ValueError):
+            return False
+
     flagged = {
         n: r
         for n, r in normalized.items()
-        if r > threshold and float(cur.get(n, 0) or 0) >= min_sec
+        if r > threshold and _big(cur, n) and (not prev or _big(prev, n))
     }
     return dict(sorted(flagged.items(), key=lambda kv: -kv[1]))
 
 
-def _canary_comparison(canary_sec: list[float], repo_root: str, rnd: int) -> dict:
+def _canary_comparison(
+    canary_sec: list[float], repo_root: str, rnd: int, prev_lookup=None
+) -> dict:
     """Cross-round host-speed comparison, ready to embed in `noise`.
 
     Rounds 5-6 both needed a human to divide canary mins across
     detail files before reading per-query deltas; this does the
     division and flags a noisy host so the artifact itself says
-    whether timings are comparable to last round's."""
+    whether timings are comparable to last round's. The flag is
+    TWO-SIDED: a 0.7x quieter host distorts raw deltas exactly as
+    much as a 1.4x loaded one (r8 vs r7), just flattering instead of
+    inflating. ``prev_lookup`` lets the caller pass an already-loaded
+    (data, round, file) triple so the prior-round files are walked
+    once per run."""
     out: dict = {"canary_min": min(canary_sec) if canary_sec else None}
-    prev_min, prev_rnd, prev_file = _prev_canary_min(repo_root, rnd)
+    if prev_lookup is None:
+        prev_lookup = _prev_round_data(repo_root, rnd)
+    prev_data, prev_rnd, prev_file = prev_lookup
+    prev_min = None
+    if prev_data is not None:
+        try:
+            prev_min = min(
+                float(c) for c in prev_data["noise"]["canary_sec"]
+            )
+        except (KeyError, TypeError, ValueError):
+            prev_min = None
     if prev_min is None or not canary_sec or prev_min <= 0:
         out["prev_canary"] = None
         return out
     ratio = round(out["canary_min"] / prev_min, 3)
     out["prev_canary"] = {"round": prev_rnd, "file": prev_file, "min": prev_min}
     out["canary_ratio_vs_prev"] = ratio
-    out["noisy_host"] = ratio > _NOISY_HOST_RATIO
+    out["noisy_host"] = (
+        ratio > _NOISY_HOST_RATIO or ratio < 1 / _NOISY_HOST_RATIO
+    )
     return out
 
 
@@ -439,9 +469,12 @@ def main() -> None:
 
     # Cross-round host-speed line: this run's canary min vs the last
     # recorded round's, with a flag when the host is too differently
-    # loaded for RAW per-query deltas to mean anything (the normalized
-    # ratios below stay meaningful either way).
-    noise.update(_canary_comparison(canary_sec, repo_root, rnd))
+    # loaded (either direction) for RAW per-query deltas to mean
+    # anything (the normalized ratios below stay meaningful either
+    # way). One walk over the prior-round files serves both the canary
+    # comparison and the per-query normalization.
+    prev_lookup = _prev_round_data(repo_root, rnd)
+    noise.update(_canary_comparison(canary_sec, repo_root, rnd, prev_lookup))
     prev = noise.get("prev_canary")
     if prev:
         flag = (
@@ -468,7 +501,7 @@ def main() -> None:
     # full map goes to the detail file; flagged regressions (>1.25x
     # normalized, ≥0.25 s) go to the stdout line and stderr so a real
     # engine regression is visible without any manual division.
-    prev_data, prev_rnd, _prev_file = _prev_round_data(repo_root, rnd)
+    prev_data, prev_rnd, _prev_file = prev_lookup
     if prev_data is not None and prev_data.get("sf") not in (None, sf_val):
         # A cross-SF ratio is volume, not regression (a local sf0.001
         # smoke must not "regress" against the driver's sf0.1 record).
@@ -478,12 +511,11 @@ def main() -> None:
             file=sys.stderr,
         )
         prev_data = None
+    prev_queries = (prev_data or {}).get("queries") or {}
     normalized = _normalized_ratios(
-        timings,
-        (prev_data or {}).get("queries") or {},
-        noise.get("canary_ratio_vs_prev"),
+        timings, prev_queries, noise.get("canary_ratio_vs_prev")
     )
-    regressions = _flag_regressions(normalized, timings)
+    regressions = _flag_regressions(normalized, timings, prev_queries)
     noise["normalized_regressions"] = regressions
     if normalized:
         if regressions:

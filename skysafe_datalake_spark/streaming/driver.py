@@ -23,6 +23,8 @@ the capability the reference lacks outright.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -183,6 +185,36 @@ def stateful_shuffle_partitions(
     per-micro-batch commit fan-out) on any input.
     """
     return int(max(lo, min(hi, n_rows // rows_per_store)))
+
+
+@contextlib.contextmanager
+def sized_stateful_shuffle(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    rows_per_store: int = 200_000,
+    lo: int = 8,
+    hi: int = 128,
+):
+    """Scope ``spark.sql.shuffle.partitions`` to
+    :func:`stateful_shuffle_partitions`'s data-sized count for the
+    duration of a stateful stream, restoring the session's value on
+    exit (success, return, or raise). The save/restore is load-bearing
+    on a shared session — six registry queries used to hand-roll this
+    try/finally and each new one risked getting the restore wrong."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(
+            stateful_shuffle_partitions(
+                n_rows, rows_per_store=rows_per_store, lo=lo, hi=hi
+            )
+        ),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def streaming_dedup(events, *, id_col: str = "event_id", watermark: str = "2 hours"):

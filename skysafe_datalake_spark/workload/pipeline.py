@@ -490,16 +490,14 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_stream_static_")
     qn = f"stream_static_{uuid.uuid4().hex[:8]}"
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Every shuffle partition owns a state-store instance and AQE
     # cannot coalesce stateful plans, so size the stream's shuffle to
     # the observed input volume (floor 4 — the window x category state
-    # itself is a handful of cells):
-    # streaming.driver.stateful_shuffle_partitions.
+    # itself is a handful of cells): streaming.driver.
     from pyspark.sql import Observation
 
     from skysafe_datalake_spark.streaming.driver import (
-        stateful_shuffle_partitions,
+        sized_stateful_shuffle,
     )
 
     try:
@@ -507,47 +505,43 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.observe(obs, F.count(F.lit(1)).alias("n")).write.parquet(
             f"{tmp}/in"
         )
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(stateful_shuffle_partitions(obs.get["n"], lo=4)),
-        )
-        stream = spark.readStream.schema(e.schema).parquet(f"{tmp}/in")
-        agg = (
-            stream.withWatermark("ts", "1 hour")
-            .join(F.broadcast(dim), "event_type")
-            .groupBy(F.window("ts", "1 hour"), "category")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(F.col("value").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("sum_value"),
+        with sized_stateful_shuffle(spark, obs.get["n"], lo=4):
+            stream = spark.readStream.schema(e.schema).parquet(f"{tmp}/in")
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .join(F.broadcast(dim), "event_type")
+                .groupBy(F.window("ts", "1 hour"), "category")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("sum_value"),
+                )
             )
-        )
-        # Memory sink is SAFE here (unlike the per-row streaming
-        # queries, which 128x-OOMed on it and now use file sinks):
-        # this output is the aggregate itself — hour buckets x
-        # categories, fixed by the time range and dim table, not by
-        # input volume — and complete-mode replacement needs a table
-        # sink anyway.
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(qn)
-            .outputMode("complete")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        out = spark.table(qn).select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "category",
-            "n_events",
-            "sum_value",
-        )
-        return out.localCheckpoint(eager=True)
+            # Memory sink is SAFE here (unlike the per-row streaming
+            # queries, which 128x-OOMed on it and now use file sinks):
+            # this output is the aggregate itself — hour buckets x
+            # categories, fixed by the time range and dim table, not
+            # by input volume — and complete-mode replacement needs a
+            # table sink anyway.
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qn)
+                .outputMode("complete")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(qn).select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "category",
+                "n_events",
+                "sum_value",
+            )
+            return out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -684,51 +678,48 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
     # and the conf only needs to be set before the STREAM starts.
     from pyspark.sql import Observation
 
-    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
 
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         obs = Observation()
         e.observe(obs, F.count(F.lit(1)).alias("n")).repartition(4).write.parquet(
             f"{tmp}/in"
         )
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(stateful_shuffle_partitions(obs.get["n"])),
-        )
-        stream = (
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/in")
-        )
-        # File sink, not a memory sink: the processor emits one row
-        # per (key, micro-batch), so output grows with the key space —
-        # a memory sink pins all of it on the driver heap (the 128x
-        # scale smoke OOMed the JVM on the sibling dedup query's
-        # memory sink). Parquet out + read-back stays executor-side.
-        q = (
-            _stateful(stream)
-            .writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # Explicit schema on the read-back: a zero-row replay leaves
-        # only _spark_metadata under out/ and schema inference fails.
-        out = (
-            spark.read.schema(out_schema).parquet(f"{tmp}/out")
-            .groupBy("user_id")
-            .agg(
-                F.max("n_events").alias("n_events"),
-                F.max("sum_cents").alias("sum_cents"),
+        with sized_stateful_shuffle(spark, obs.get["n"]):
+            stream = (
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/in")
             )
-        )
-        return out.localCheckpoint(eager=True)
+            # File sink, not a memory sink: the processor emits one
+            # row per (key, micro-batch), so output grows with the key
+            # space — a memory sink pins all of it on the driver heap
+            # (the 128x scale smoke OOMed the JVM on the sibling dedup
+            # query's memory sink). Parquet out + read-back stays
+            # executor-side.
+            q = (
+                _stateful(stream)
+                .writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # Explicit schema on the read-back: a zero-row replay
+            # leaves only _spark_metadata under out/ and schema
+            # inference fails.
+            out = (
+                spark.read.schema(out_schema).parquet(f"{tmp}/out")
+                .groupBy("user_id")
+                .agg(
+                    F.max("n_events").alias("n_events"),
+                    F.max("sum_cents").alias("sum_cents"),
+                )
+            )
+            return out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -778,9 +769,8 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming.driver.stateful_shuffle_partitions.
     from pyspark.sql import Observation
 
-    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
 
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         obs_c, obs_p = Observation(), Observation()
         e.where(F.col("event_type") == "click").select(
@@ -797,58 +787,54 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).observe(obs_p, F.count(F.lit(1)).alias("n")).write.parquet(
             f"{tmp}/purchases"
         )
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(stateful_shuffle_partitions(obs_c.get["n"] + obs_p.get["n"])),
-        )
-
-        clicks = spark.readStream.schema(
-            "click_id bigint, c_user bigint, c_ts timestamp"
-        ).parquet(f"{tmp}/clicks")
-        purchases = spark.readStream.schema(
-            "purchase_id bigint, p_user bigint, p_ts timestamp"
-        ).parquet(f"{tmp}/purchases")
-        joined = interval_join_streams(
-            clicks,
-            purchases,
-            left_key="c_user",
-            right_key="p_user",
-            left_ts="c_ts",
-            right_ts="p_ts",
-            watermark="1 hour",
-            within="30 minutes",
-        ).select(
-            "click_id",
-            "purchase_id",
-            F.col("c_user").alias("user_id"),
-            (
-                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
-            ).cast("bigint").alias("delay_s"),
-        )
-        # File sink, not a memory sink: join output grows with the
-        # input (click x purchase matches), and a memory sink holds
-        # EVERY result row on the driver heap for the life of the
-        # session — a collect() in disguise. The 128x scale smoke
-        # OOMed the JVM on exactly this shape (sibling dedup query);
-        # parquet out + read-back keeps the result executor-side.
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # Explicit schema: a zero-row replay writes only
-        # _spark_metadata and inference would fail.
-        return (
-            spark.read.schema(joined.schema)
-            .parquet(f"{tmp}/out")
-            .localCheckpoint(eager=True)
-        )
+        with sized_stateful_shuffle(spark, obs_c.get["n"] + obs_p.get["n"]):
+            clicks = spark.readStream.schema(
+                "click_id bigint, c_user bigint, c_ts timestamp"
+            ).parquet(f"{tmp}/clicks")
+            purchases = spark.readStream.schema(
+                "purchase_id bigint, p_user bigint, p_ts timestamp"
+            ).parquet(f"{tmp}/purchases")
+            joined = interval_join_streams(
+                clicks,
+                purchases,
+                left_key="c_user",
+                right_key="p_user",
+                left_ts="c_ts",
+                right_ts="p_ts",
+                watermark="1 hour",
+                within="30 minutes",
+            ).select(
+                "click_id",
+                "purchase_id",
+                F.col("c_user").alias("user_id"),
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+                ).cast("bigint").alias("delay_s"),
+            )
+            # File sink, not a memory sink: join output grows with the
+            # input (click x purchase matches), and a memory sink
+            # holds EVERY result row on the driver heap for the life
+            # of the session — a collect() in disguise. The 128x scale
+            # smoke OOMed the JVM on exactly this shape (sibling dedup
+            # query); parquet out + read-back keeps the result
+            # executor-side.
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # Explicit schema: a zero-row replay writes only
+            # _spark_metadata and inference would fail.
+            return (
+                spark.read.schema(joined.schema)
+                .parquet(f"{tmp}/out")
+                .localCheckpoint(eager=True)
+            )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -965,7 +951,6 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_sloj_")
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Every shuffle partition owns 4 state-store instances in an
     # outer interval join; at replay volume fewer stores beat the
     # lost parallelism (lo=4), but the count still grows with input
@@ -973,7 +958,7 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (streaming.driver.stateful_shuffle_partitions).
     from pyspark.sql import Observation
 
-    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
 
     try:
         clicks_b = e.where(F.col("event_type") == "click").select(
@@ -1007,50 +992,48 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases_b.unionByName(sent_p).observe(
             obs_p, F.count(F.lit(1)).alias("n")
         ).coalesce(4).write.parquet(f"{tmp}/purchases")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(stateful_shuffle_partitions(obs_c.get["n"] + obs_p.get["n"], lo=4)),
-        )
-        clicks = spark.readStream.schema(
-            "click_id bigint, c_user bigint, c_ts timestamp"
-        ).parquet(f"{tmp}/clicks")
-        purchases = spark.readStream.schema(
-            "purchase_id bigint, p_user bigint, p_ts timestamp"
-        ).parquet(f"{tmp}/purchases")
-        joined = interval_join_streams(
-            clicks,
-            purchases,
-            left_key="c_user",
-            right_key="p_user",
-            left_ts="c_ts",
-            right_ts="p_ts",
-            watermark="1 hour",
-            within="30 minutes",
-            how="left_outer",
-        ).select(
-            "click_id",
-            "purchase_id",
-            F.col("c_user").alias("user_id"),
-            (
-                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
-            ).cast("bigint").alias("delay_s"),
-        )
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # Explicit schema guards the zero-row-replay read-back.
-        out = (
-            spark.read.schema(joined.schema).parquet(f"{tmp}/out")
-            .where(F.col("click_id") >= 0)
-        )
-        return out.localCheckpoint(eager=True)
+        with sized_stateful_shuffle(
+            spark, obs_c.get["n"] + obs_p.get["n"], lo=4
+        ):
+            clicks = spark.readStream.schema(
+                "click_id bigint, c_user bigint, c_ts timestamp"
+            ).parquet(f"{tmp}/clicks")
+            purchases = spark.readStream.schema(
+                "purchase_id bigint, p_user bigint, p_ts timestamp"
+            ).parquet(f"{tmp}/purchases")
+            joined = interval_join_streams(
+                clicks,
+                purchases,
+                left_key="c_user",
+                right_key="p_user",
+                left_ts="c_ts",
+                right_ts="p_ts",
+                watermark="1 hour",
+                within="30 minutes",
+                how="left_outer",
+            ).select(
+                "click_id",
+                "purchase_id",
+                F.col("c_user").alias("user_id"),
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+                ).cast("bigint").alias("delay_s"),
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # Explicit schema guards the zero-row-replay read-back.
+            out = (
+                spark.read.schema(joined.schema).parquet(f"{tmp}/out")
+                .where(F.col("click_id") >= 0)
+            )
+            return out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1226,13 +1209,12 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     tmp = tempfile.mkdtemp(prefix="skysafe_sfoj_")
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Sized to the streamed rows, floor 4 (4 state stores per
     # partition in an outer join), observed on the replay writes:
     # streaming.driver.stateful_shuffle_partitions.
     from pyspark.sql import Observation
 
-    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
 
     try:
         flush_ts = e.agg(
@@ -1261,52 +1243,55 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).unionByName(sent_p).observe(
             obs_p, F.count(F.lit(1)).alias("n")
         ).coalesce(4).write.parquet(f"{tmp}/purchases")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(stateful_shuffle_partitions(obs_c.get["n"] + obs_p.get["n"], lo=4)),
-        )
-        clicks = spark.readStream.schema(
-            "click_id bigint, c_user bigint, c_ts timestamp"
-        ).parquet(f"{tmp}/clicks")
-        purchases = spark.readStream.schema(
-            "purchase_id bigint, p_user bigint, p_ts timestamp"
-        ).parquet(f"{tmp}/purchases")
-        joined = interval_join_streams(
-            clicks,
-            purchases,
-            left_key="c_user",
-            right_key="p_user",
-            left_ts="c_ts",
-            right_ts="p_ts",
-            watermark="1 hour",
-            within="30 minutes",
-            how="full_outer",
-        ).select(
-            "click_id",
-            "purchase_id",
-            F.coalesce(F.col("c_user"), F.col("p_user")).alias(
-                "user_id"
-            ),
-            (
-                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
-            ).cast("bigint").alias("delay_s"),
-        )
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # Explicit schema guards the zero-row-replay read-back.
-        out = spark.read.schema(joined.schema).parquet(f"{tmp}/out").where(
-            (F.col("click_id").isNull() | (F.col("click_id") >= 0))
-            & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
-        )
-        return out.localCheckpoint(eager=True)
+        with sized_stateful_shuffle(
+            spark, obs_c.get["n"] + obs_p.get["n"], lo=4
+        ):
+            clicks = spark.readStream.schema(
+                "click_id bigint, c_user bigint, c_ts timestamp"
+            ).parquet(f"{tmp}/clicks")
+            purchases = spark.readStream.schema(
+                "purchase_id bigint, p_user bigint, p_ts timestamp"
+            ).parquet(f"{tmp}/purchases")
+            joined = interval_join_streams(
+                clicks,
+                purchases,
+                left_key="c_user",
+                right_key="p_user",
+                left_ts="c_ts",
+                right_ts="p_ts",
+                watermark="1 hour",
+                within="30 minutes",
+                how="full_outer",
+            ).select(
+                "click_id",
+                "purchase_id",
+                F.coalesce(F.col("c_user"), F.col("p_user")).alias(
+                    "user_id"
+                ),
+                (
+                    F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+                ).cast("bigint").alias("delay_s"),
+            )
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # Explicit schema guards the zero-row-replay read-back.
+            out = spark.read.schema(joined.schema).parquet(
+                f"{tmp}/out"
+            ).where(
+                (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+                & (
+                    F.col("purchase_id").isNull()
+                    | (F.col("purchase_id") >= 0)
+                )
+            )
+            return out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -1347,48 +1332,46 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = e.unionByName(e.where(F.col("event_id") % 3 == 0))
     tmp = tempfile.mkdtemp(prefix="skysafe_sdd_")
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # Sized to input rows (the duplicated stream), floor 4:
     # streaming.driver.stateful_shuffle_partitions.
     from pyspark.sql import Observation
 
-    from skysafe_datalake_spark.streaming.driver import stateful_shuffle_partitions
+    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
 
     try:
         obs = Observation()
         dup.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(
             4
         ).write.parquet(f"{tmp}/in")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            str(stateful_shuffle_partitions(obs.get["n"], lo=4)),
-        )
-        stream = spark.readStream.schema(
-            "event_id bigint, ts timestamp, user_id bigint, event_type string"
-        ).parquet(f"{tmp}/in")
-        deduped = streaming_dedup(stream, id_col="event_id", watermark="2 hours")
-        # File sink, not a memory sink: the deduped stream is
-        # per-event output (~input-sized), and a memory sink pins
-        # every row on the driver heap — the 128x scale smoke (170M
-        # events) OOMed the JVM here. Parquet out + read-back keeps
-        # the result executor-side; the survivor-count aggregation
-        # runs on the read-back.
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        # Explicit schema guards the zero-row-replay read-back.
-        out = (
-            spark.read.schema(deduped.schema).parquet(f"{tmp}/out")
-            .groupBy("event_id")
-            .agg(F.count("*").cast("bigint").alias("n_after_dedup"))
-        )
-        return out.localCheckpoint(eager=True)
+        with sized_stateful_shuffle(spark, obs.get["n"], lo=4):
+            stream = spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string"
+            ).parquet(f"{tmp}/in")
+            deduped = streaming_dedup(
+                stream, id_col="event_id", watermark="2 hours"
+            )
+            # File sink, not a memory sink: the deduped stream is
+            # per-event output (~input-sized), and a memory sink pins
+            # every row on the driver heap — the 128x scale smoke
+            # (170M events) OOMed the JVM here. Parquet out +
+            # read-back keeps the result executor-side; the
+            # survivor-count aggregation runs on the read-back.
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # Explicit schema guards the zero-row-replay read-back.
+            out = (
+                spark.read.schema(deduped.schema).parquet(f"{tmp}/out")
+                .groupBy("event_id")
+                .agg(F.count("*").cast("bigint").alias("n_after_dedup"))
+            )
+            return out.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -187,6 +187,18 @@ def test_canary_comparison_without_prior_round(tmp_path):
     assert out == {"canary_min": 0.1, "prev_canary": None}
 
 
+def test_canary_comparison_flags_quieter_host_too(tmp_path):
+    # The r8 failure direction: a 0.694x QUIETER host flatters every
+    # raw delta by ~30% — just as misleading as a loaded one. The flag
+    # is two-sided.
+    _write_json(
+        tmp_path / "BENCH_DETAIL_r06.json", {"noise": {"canary_sec": [0.098]}}
+    )
+    out = bench._canary_comparison([0.068], str(tmp_path), 7)
+    assert out["canary_ratio_vs_prev"] == pytest.approx(0.694)
+    assert out["noisy_host"] is True
+
+
 def test_noisy_host_threshold_matches_regression_bar():
     # r7 (1.4x load) sat under the old 1.5x bar and still distorted
     # every raw ratio; the flag now trips at the same 1.25x bar the
@@ -236,6 +248,16 @@ def test_flag_regressions_threshold_and_floor():
     # worst-first
     assert list(flagged.items()) == [("worse", 1.9), ("big", 1.5)]
     assert bench._flag_regressions({}, {}) == {}
+
+
+def test_flag_regressions_floor_applies_to_prev_side_too():
+    # A jitter-lucky 0.05s prev min against a 0.30s current sample is
+    # a 6x ratio made entirely of the noise the floor suppresses — the
+    # floor must bind BOTH rounds' samples.
+    normalized = {"jitter": 6.0, "real": 1.5}
+    cur = {"jitter": 0.30, "real": 2.0}
+    prev = {"jitter": 0.05, "real": 1.3}
+    assert bench._flag_regressions(normalized, cur, prev) == {"real": 1.5}
 
 
 # ──────────────── scale_smoke over-scale refusal path ─────────────

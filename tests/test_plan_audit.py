@@ -168,6 +168,41 @@ def test_budget_increase_then_repin_requires_dated_note(tmp_path):
     assert check_budget({"q": (2, 1)}, snap) == []
 
 
+def test_budget_second_increase_drops_the_stale_note(tmp_path):
+    """A dated note adjudicates the increase it was written for: a
+    SECOND increase re-pinned bare must not ride the first increase's
+    explanation — the note is dropped and the rule fires again."""
+    path = str(tmp_path / "PLAN_BUDGET.json")
+    update_budget({"q": (2, 1)}, path=path)
+    update_budget({"q": (3, 1)}, path=path)  # first increase
+    snap = load_budget(path)
+    snap["queries"]["q"]["note"] = "2026-08-15: extra agg exchange"
+    with open(path, "w") as f:
+        json.dump(snap, f)
+    assert check_budget({"q": (3, 1)}, load_budget(path)) == []
+    # second increase, bare re-pin: stale note must NOT carry over
+    update_budget({"q": (4, 1)}, path=path)
+    snap = load_budget(path)
+    assert "note" not in snap["queries"]["q"]
+    assert snap["queries"]["q"]["baseline_shuffles"] == 2
+    probs = check_budget({"q": (4, 1)}, snap)
+    assert len(probs) == 1 and "without a dated note" in probs[0]
+
+
+def test_budget_update_refuses_while_queries_fail_to_build(tmp_path):
+    """--update-budget rewrites the snapshot from the measured set
+    only, so a transiently-broken query would silently lose its pin
+    and lowest-ever baseline — the update must refuse instead."""
+    path = str(tmp_path / "PLAN_BUDGET.json")
+    update_budget({"q": (2, 1), "r": (1, 0)}, path=path)
+    with pytest.raises(ValueError, match="refusing --update-budget"):
+        update_budget(
+            {"q": (2, 1)}, path=path, errors={"r": "TypeError: boom"}
+        )
+    # snapshot untouched by the refused update
+    assert set(load_budget(path)["queries"]) == {"q", "r"}
+
+
 # ── streaming memory-sink source gate ──────────────────────────────
 
 _MEMORY_SINK = re.compile(r"\.format\(\s*([\"'])memory\1\s*\)")

@@ -91,36 +91,69 @@ _NO_EXPIRY_ADJUDICATED = {
 }
 
 
+# Streaming API call forms (dot-prefixed so prose in docstrings that
+# merely DISCUSSES readStream doesn't classify a function).
+_STREAM_API = re.compile(r"\.readStream\b|\.writeStream\b")
+
+
+def _top_level_callables(tree):
+    """(qualname, node) for module-level functions AND methods of
+    module-level classes — a streaming query written as a class method
+    must not escape discovery. Defs nested inside functions stay part
+    of their parent's source segment."""
+    out = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            out.append((node.name, node))
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    out.append((f"{node.name}.{sub.name}", sub))
+    return out
+
+
 def _streaming_functions():
-    """(relpath, name, source) for every function whose source touches
-    the streaming API — readStream/writeStream entry points AND
-    helpers holding custom keyed state (which take the stream as an
-    argument and would otherwise escape discovery)."""
+    """(relpath, qualname, source) for every function whose source
+    touches the streaming API — readStream/writeStream entry points
+    AND helpers holding custom keyed state (which take the stream as
+    an argument and would otherwise escape discovery)."""
     out = []
     for path in sorted(PKG.rglob("*.py")):
         text = path.read_text()
-        if (
-            "readStream" not in text
-            and "writeStream" not in text
-            and not _CUSTOM_KEYED_STATE.search(text)
+        if not _STREAM_API.search(text) and not _CUSTOM_KEYED_STATE.search(
+            text
         ):
             continue
-        # Module-level functions only: a nested def / processor method
-        # is part of its parent's source segment, and walking it
-        # separately would double-report every site.
-        for node in ast.parse(text).body:
-            if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                continue
+        for name, node in _top_level_callables(ast.parse(text)):
             src = ast.get_source_segment(text, node) or ""
-            if (
-                "readStream" in src
-                or "writeStream" in src
-                or _CUSTOM_KEYED_STATE.search(src)
-            ):
-                out.append(
-                    (str(path.relative_to(PKG.parent)), node.name, src)
-                )
+            if _STREAM_API.search(src) or _CUSTOM_KEYED_STATE.search(src):
+                out.append((str(path.relative_to(PKG.parent)), name, src))
     return out
+
+
+def test_streaming_api_only_inside_discovered_functions():
+    """Backstop for the discovery itself: every streaming-API call
+    form in the package must sit inside a module-level function or
+    class method the gate discovered — module-level streaming code
+    (or any future AST shape the walker misses) fails here instead of
+    silently escaping rules 1-3."""
+    for path in sorted(PKG.rglob("*.py")):
+        text = path.read_text()
+        if not _STREAM_API.search(text) and not _CUSTOM_KEYED_STATE.search(
+            text
+        ):
+            continue
+        covered = [
+            range(node.lineno, (node.end_lineno or node.lineno) + 1)
+            for _name, node in _top_level_callables(ast.parse(text))
+        ]
+        for lineno, line in enumerate(text.splitlines(), start=1):
+            if _STREAM_API.search(line) or _CUSTOM_KEYED_STATE.search(line):
+                assert any(lineno in r for r in covered), (
+                    f"{path}:{lineno} uses the streaming API outside "
+                    "any discovered function — the contract gate "
+                    "cannot see it"
+                )
 
 
 def _writestream_sinks(src: str) -> list[str]:
@@ -134,7 +167,10 @@ def _writestream_sinks(src: str) -> list[str]:
         fmt = re.search(r"\.format\(\s*([\"'])(\w+)\1\s*\)", tail)
         if fmt:
             sinks.append(fmt.group(2))
-        elif ".foreachBatch(" in tail or "foreachBatch" in src:
+        elif ".foreachBatch(" in tail:
+            # tail only: the word appearing elsewhere in the function
+            # (a docstring comparing sinks) must not classify a
+            # format-less chain as foreachBatch — 'unknown' fails loud.
             sinks.append("foreachBatch")
         else:
             sinks.append("unknown")
@@ -152,7 +188,9 @@ def _classify(src: str) -> dict:
         "has_watermark": "withWatermark" in src
         or any(h in src for h in _WATERMARKING_HELPERS),
         "has_timeout": bool(_REAL_TIMEOUT.search(src)),
-        "has_sizing": "stateful_shuffle_partitions(" in src,
+        # direct call or the conf-scoping contextmanager built on it
+        "has_sizing": "stateful_shuffle_partitions(" in src
+        or "sized_stateful_shuffle(" in src,
         "runs_stream": ".writeStream" in src,
     }
 
@@ -309,3 +347,18 @@ def test_gate_fails_synthetic_unbounded_query():
     assert cls["time_keyed_state"] and not cls["has_watermark"]
     assert cls["stateful"] and not cls["has_sizing"]
     assert _writestream_sinks(bad_src) == ["memory"]
+    # a class method does not escape discovery
+    tree = ast.parse(
+        "class Replay:\n"
+        "    def run(self, spark):\n"
+        "        return spark.readStream.parquet('in')\n"
+    )
+    assert [n for n, _ in _top_level_callables(tree)] == ["Replay.run"]
+    # a docstring mentioning foreachBatch cannot launder a format-less
+    # chain: it reads 'unknown', which the sink rule rejects
+    laundered = (
+        "def q(df):\n"
+        '    """Unlike foreachBatch, this writes directly."""\n'
+        "    return df.writeStream.queryName('x').start()\n"
+    )
+    assert _writestream_sinks(laundered) == ["unknown"]

@@ -377,12 +377,24 @@ def update_budget(
     measured: dict[str, tuple[int, int]],
     path: str = BUDGET_PATH,
     sf_dir: str = SF_DIR_DEFAULT,
+    errors: dict[str, str] | None = None,
 ) -> dict:
-    """Re-pin the snapshot to the measured counts, preserving notes
-    and keeping ``baseline_shuffles`` at the lowest count ever seen
-    (so the dated-note-on-increase rule survives re-pins)."""
+    """Re-pin the snapshot to the measured counts, keeping
+    ``baseline_shuffles`` at the lowest count ever seen (so the
+    dated-note-on-increase rule survives re-pins).
+
+    Refuses to run while any query failed to BUILD: the snapshot is
+    rewritten from ``measured`` only, so a transiently-broken query
+    would be silently dropped — and with it the lowest-ever baseline
+    this gate exists to preserve."""
     import json
 
+    if errors:
+        raise ValueError(
+            "refusing --update-budget while queries fail to build "
+            f"(their pins and baselines would be silently dropped): "
+            f"{sorted(errors)}"
+        )
     snap = load_budget(path)
     old_q = snap.get("queries", {})
     new_q: dict[str, dict] = {}
@@ -396,7 +408,11 @@ def update_budget(
         # dated-note rule in check_budget would never fire (round-8 bug).
         base = min(s, old.get("baseline_shuffles", old.get("shuffles", s)))
         ent: dict = {"shuffles": s, "broadcasts": b, "baseline_shuffles": base}
-        if old.get("note"):
+        # A note adjudicates the increase it was written for. Carrying
+        # it onto a HIGHER pin would let a second regression ride the
+        # first one's explanation through a bare re-pin — drop it and
+        # let check_budget demand a fresh dated note.
+        if old.get("note") and s <= old.get("shuffles", s):
             ent["note"] = old["note"]
         new_q[name] = ent
     out = {
@@ -508,7 +524,7 @@ def main() -> None:
     out = os.path.join(REPO_ROOT, "PLAN_AUDIT.md")
     write_markdown(out, hits, stale, errors, len(QUERIES), sf_dir, budget)
     if do_update:
-        update_budget(budget, sf_dir=sf_dir)
+        update_budget(budget, sf_dir=sf_dir, errors=errors)
         print(f"# budget re-pinned -> {BUDGET_PATH}", file=sys.stderr)
     drift = check_budget(budget, load_budget())
     for p in drift:
