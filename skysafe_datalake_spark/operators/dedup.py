@@ -534,9 +534,13 @@ def ngram_jaccard_pairs(
     keys), then Jaccard = |A∩B| / (|A|+|B|-|A∩B|). For 100 TB corpora
     run :func:`minhash_lsh_pairs` first and verify only candidates.
     """
+    # The exploded-shingle table feeds BOTH self-join sides and the
+    # sizes aggregate; materialize it once (module idiom: lazy
+    # localCheckpoint, blocks freed by the ContextCleaner) so the
+    # explode+dropDuplicates doesn't run up to 3x per action.
     sh = explode_shingles(df, id_col, text_col, shingle_k).dropDuplicates(
         [id_col, "sh"]
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.select(F.col(id_col).alias("a_id"), "sh")

@@ -56,6 +56,9 @@ def connected_components(
 
     Returns DataFrame[node, cluster_id].
     """
+    _require_numeric_ids(edges, [src, dst], "connected_components")
+    if nodes is not None:
+        _require_numeric_ids(nodes, [node_col], "connected_components")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -143,6 +146,25 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def _require_numeric_ids(df: DataFrame, cols, op: str) -> None:
+    """Both components variants converge on SUM-based fingerprints of
+    the ids (a valid Lyapunov function only because min-propagation
+    monotonically decreases numeric labels). A string id column makes
+    every sum NULL, None == None declares convergence after one round,
+    and the caller gets silently WRONG labels — so the documented
+    numeric-ids precondition is enforced, loudly, at entry."""
+    from pyspark.sql.types import NumericType
+
+    for c in cols:
+        t = df.schema[c].dataType
+        if not isinstance(t, NumericType):
+            raise TypeError(
+                f"{op} requires numeric node ids; column {c!r} is "
+                f"{t.simpleString()}. Map keys to ids first "
+                "(e.g. F.xxhash64(col) or a dense_rank lookup)."
+            )
+
+
 def _edge_checksum(edges: DataFrame) -> tuple:
     """Order-insensitive edge-set fingerprint for convergence checks:
     count + two independent mixes. One aggregate job, no sort."""
@@ -176,6 +198,9 @@ def connected_components_star(
     all keyed on node id; edges are localCheckpoint'ed per round so
     plan depth stays constant.
     """
+    _require_numeric_ids(edges, [src, dst], "connected_components_star")
+    if nodes is not None:
+        _require_numeric_ids(nodes, [node_col], "connected_components_star")
     cur = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))

@@ -41,11 +41,19 @@ def _argmin(
 ) -> DataFrame:
     """groupBy(keys).agg(min(struct(order, ties, payload))) — the
     map-side-combining argmin reduction shared by the broadcast and
-    grid strategies. Shuffle carries ≤ 1 row per key per task."""
+    grid strategies. Shuffle carries ≤ 1 row per key per task.
+
+    A NULL ``rank_on`` (e.g. Haversine over a right row with NULL
+    coordinates) must LOSE the argmin, not win it: struct min compares
+    fields ascending with nulls FIRST, so without the leading
+    null-flag field one garbage right row would become every left
+    row's nearest neighbor. Keys whose candidates are ALL null-ranked
+    still emit their (null-distance) row rather than vanishing."""
     payload = [c for c in joined.columns if c not in partition_by]
     ordered = joined.select(
         *partition_by,
         F.struct(
+            rank_on.isNull().cast("int").alias("_null"),
             rank_on.alias("_ord"),
             *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tie_breakers)],
             F.struct(*payload).alias("_row"),
@@ -102,8 +110,10 @@ def nearest_neighbor_join(
             out = out.withColumn(rank_name, F.lit(1).cast("int"))
         return out
 
+    # nulls LAST: a NULL distance must not outrank every real one
+    # (default asc is nulls-first).
     w = Window.partitionBy(*partition_by).orderBy(
-        rank_on.asc(), *[F.col(c).asc() for c in tie_breakers]
+        rank_on.asc_nulls_last(), *[F.col(c).asc() for c in tie_breakers]
     )
     ranked = joined.withColumn("_nn_rank", F.row_number().over(w)).filter(
         F.col("_nn_rank") <= k
@@ -238,6 +248,12 @@ def grid_nn_join(
     if unmatched == "drop":
         return result
 
+    # The anti-join probe AND the caller's action both reference
+    # `result`; unmaterialized, the whole (2·ring+1)²-expanded join +
+    # argmin would run twice (once for the probe's count/union, once
+    # for the final action). Checkpoint the post-argmin rows (≤ |left|)
+    # so the dominant cost is paid exactly once.
+    result = result.localCheckpoint(eager=True)
     unmatched_left = left.join(
         result.select(*partition_by), list(partition_by), "left_anti"
     )

@@ -36,11 +36,20 @@ def global_rank(
     column) — otherwise ranks of ties are partition-placement-
     dependent, which this operator exists to avoid.
     """
+    # Materialize the range shuffle once (lazy localCheckpoint, the
+    # dedup.py idiom): the counts collect below AND the caller's
+    # action both consume it — unmaterialized, the dominant range
+    # exchange would run twice, and _gr_pid assignments would depend
+    # on two separate executions of a sampled partitioner.
     ranged = (
-        df.repartitionByRange(num_partitions, *order_by)
-        if num_partitions
-        else df.repartitionByRange(*order_by)
-    ).withColumn("_gr_pid", F.spark_partition_id())
+        (
+            df.repartitionByRange(num_partitions, *order_by)
+            if num_partitions
+            else df.repartitionByRange(*order_by)
+        )
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
 
     w = Window.partitionBy("_gr_pid").orderBy(*order_by)
     numbered = ranged.withColumn("_gr_intra", F.row_number().over(w))
@@ -100,11 +109,18 @@ def skyline_2d(
     p.maximize (no equal-cost dominator). Both prefixes depend only
     on the total order of ``minimize``, so the result is layout-
     independent."""
+    # Same materialize-once rationale as global_rank: the pid_max
+    # collect, the prefix windows, and the final join all consume the
+    # ranged frame.
     ranged = (
-        df.repartitionByRange(num_partitions, F.col(minimize))
-        if num_partitions
-        else df.repartitionByRange(F.col(minimize))
-    ).withColumn("_sk_pid", F.spark_partition_id())
+        (
+            df.repartitionByRange(num_partitions, F.col(minimize))
+            if num_partitions
+            else df.repartitionByRange(F.col(minimize))
+        )
+        .withColumn("_sk_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
 
     groups = ranged.groupBy("_sk_pid", minimize).agg(
         F.max(maximize).alias("_sk_gmax")

@@ -82,7 +82,11 @@ def _gemm_block_pairs(
 
     def blocks(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         b_ids, b_mat = bc.value
+        if b_mat.size == 0:
+            return  # empty broadcast side -> zero pairs, not a GEMM crash
         for pdf in it:
+            if len(pdf) == 0:  # np.stack needs at least one array
+                continue
             a_ids = pdf[id_col].to_numpy(dtype="int64")
             a_mat = np.stack(pdf[vec].to_numpy()).astype("float64")
             a_norms = np.linalg.norm(a_mat, axis=1)
@@ -138,6 +142,11 @@ def _collect_normalized(df: DataFrame, id_col: str, vec: str):
 
     rows = df.select(id_col, vec).collect()
     ids = np.array([r[0] for r in rows], dtype="int64")
+    if not rows:
+        # np.array([]) is 1-D and norm(axis=1) raises AxisError — an
+        # empty micro-batch (cross_neardup_pairs in continuous ingest)
+        # or an empty hash tile must mean zero pairs, not a crash.
+        return ids, np.zeros((0, 0), dtype="float64")
     mat = np.array([r[1] for r in rows], dtype="float64")
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0

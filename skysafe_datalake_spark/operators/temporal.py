@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,26 +55,48 @@ def asof_join(
     |left| + |right|.
 
     When several right rows share the matched timestamp, the one with
-    the greatest ``tie_breaker`` wins (pass one for determinism).
+    the greatest ``tie_breaker`` wins (pass one for determinism; it
+    must be one of the ``payload`` columns, since the ordering reads
+    it from the carried match).
+
+    The match is carried as ONE struct — (matched timestamp, all
+    payload fields) filled together — so every payload value comes
+    from the single as-of row, and a matched row whose payload is
+    legitimately NULL yields NULL (merge_asof semantics) instead of
+    leaking a staler row's value through an independent
+    ignorenulls fill.
     """
+    from pyspark.sql.types import StructField, StructType
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction}")
     by = list(by)
-    order_keys = [tie_breaker] if tie_breaker else []
+    payload = list(payload)
+    if tie_breaker is not None and tie_breaker not in payload:
+        raise ValueError(
+            f"tie_breaker {tie_breaker!r} must be one of the payload "
+            f"columns {payload} (the ordering reads it from the "
+            "carried match)"
+        )
+    match_type = StructType(
+        [StructField("_mts", right.schema[right_on].dataType)]
+        + [StructField(f"_p_{c}", right.schema[c].dataType) for c in payload]
+    )
     l_tag = left.select(
         *by,
         F.col(left_on).alias("_asof_ts"),
         F.lit(1).alias("_asof_src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
-        F.lit(None).cast(right.schema[right_on].dataType).alias("_asof_mts"),
+        F.lit(None).cast(match_type).alias("_asof_match"),
         F.struct(*[c for c in left.columns if c not in by]).alias("_l"),
     )
     r_tag = right.select(
         *by,
         F.col(right_on).alias("_asof_ts"),
         F.lit(0).alias("_asof_src"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
-        F.col(right_on).alias("_asof_mts"),
+        F.struct(
+            F.col(right_on).alias("_mts"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload],
+        ).alias("_asof_match"),
         F.lit(None).cast(l_tag.schema["_l"].dataType).alias("_l"),
     )
     # Right rows sort before left rows at equal timestamps
@@ -93,7 +115,11 @@ def asof_join(
         .orderBy(
             ts_order,
             F.col("_asof_src").asc(),
-            *[F.col(f"_p_{k}").asc_nulls_first() for k in order_keys],
+            *(
+                [F.col(f"_asof_match._p_{tie_breaker}").asc_nulls_first()]
+                if tie_breaker
+                else []
+            ),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -102,33 +128,27 @@ def asof_join(
         "_asof_ts",
         "_asof_src",
         "_l",
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_p_{c}") for c in payload],
-        F.last("_asof_mts", ignorenulls=True).over(w).alias("_asof_mts"),
+        F.last("_asof_match", ignorenulls=True).over(w).alias("_asof_match"),
     )
     if tolerance is not None:
         in_tol = (
-            F.col("_asof_mts")
+            F.col("_asof_match._mts")
             >= F.col("_asof_ts") - F.expr(f"INTERVAL {tolerance}")
             if direction == "backward"
-            else F.col("_asof_mts")
+            else F.col("_asof_match._mts")
             <= F.col("_asof_ts") + F.expr(f"INTERVAL {tolerance}")
         )
-        filled = filled.select(
-            *by,
-            "_asof_ts",
-            "_asof_src",
-            "_l",
-            *[
-                F.when(in_tol, F.col(f"_p_{c}")).alias(f"_p_{c}")
-                for c in payload
-            ],
-            "_asof_mts",
-        )
+        pick = [
+            F.when(in_tol, F.col(f"_asof_match._p_{c}")).alias(c)
+            for c in payload
+        ]
+    else:
+        pick = [F.col(f"_asof_match._p_{c}").alias(c) for c in payload]
     out_left = [c for c in left.columns if c not in by]
     return filled.filter(F.col("_asof_src") == 1).select(
         *by,
         *[F.col(f"_l.{c}").alias(c) for c in out_left],
-        *[F.col(f"_p_{c}").alias(c) for c in payload],
+        *pick,
     )
 
 
@@ -137,7 +157,6 @@ def sessionize(
     *,
     by: Sequence[str],
     ts: str = "ts",
-    gap: Column | None = None,
     gap_seconds: int = 1800,
     tie_breakers: Sequence[str] = (),
 ) -> DataFrame:

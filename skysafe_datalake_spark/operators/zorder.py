@@ -34,6 +34,15 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     expression: whole-stage-codegen-friendly, no shuffle of its own.
     """
     n = len(cols)
+    if bits * n > 63:
+        # Bit position 63 is the bigint sign bit: 1 << 63 overflows a
+        # LongType literal (and past it the key ordering corrupts) —
+        # e.g. 8 columns at the default bits=8, or 4 at bits=16.
+        raise ValueError(
+            f"zorder_key needs bits * len(cols) <= 63 to fit a signed "
+            f"bigint; got bits={bits} * {n} columns = {bits * n}. "
+            "Lower bits (coarser tiles) or drop a column."
+        )
     key = F.lit(0).cast("bigint")
     for d, c in enumerate(cols):
         cb = c.cast("bigint")

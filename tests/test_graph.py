@@ -143,3 +143,64 @@ def test_simhash_pairs_guard_rejects_unreachable_hamming(spark):
     sigs = spark.createDataFrame([(1, 3), (2, 5)], "doc_id long, simhash long")
     with pytest.raises(ValueError, match="n_bands"):
         simhash_neardup_pairs(sigs, "doc_id", n_bands=4, max_hamming=4)
+
+
+def test_connected_components_rejects_string_ids(spark):
+    """Both variants converge on SUM-based id fingerprints, valid only
+    for numeric labels; string ids made the sum NULL, None == None
+    declared convergence after ONE round, and callers got silently
+    wrong labels (round-9 review). The documented precondition is now
+    enforced loudly."""
+    import pytest
+
+    from skysafe_datalake_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    with pytest.raises(TypeError, match="numeric node ids"):
+        connected_components(edges)
+    with pytest.raises(TypeError, match="numeric node ids"):
+        connected_components_star(edges)
+
+
+def test_nn_join_null_distance_never_wins(spark):
+    """A right row with NULL coordinates yields a NULL Haversine; in
+    min(struct) a NULL first field sorts FIRST, so without the
+    null-flag guard that one garbage row became EVERY left row's
+    nearest neighbor (round-9 review). Both strategies must rank
+    nulls last."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.functions.geo import haversine_km
+    from skysafe_datalake_spark.operators.nn_join import (
+        nearest_neighbor_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 10.0)], "fid long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [(100, 10.1, 10.1), (999, None, None)],
+        "sid long, s_lat double, s_lon double",
+    )
+    dist = haversine_km("lat", "lon", "s_lat", "s_lon")
+    for strategy in ("argmin", "window"):
+        row = nearest_neighbor_join(
+            left, right, ["fid"], dist,
+            tie_breakers=["sid"], strategy=strategy,
+        ).collect()[0]
+        assert row["sid"] == 100, strategy
+        assert row["dist_km"] is not None, strategy
+    # all-null candidates: the key still emits (with NULL distance)
+    # on the argmin path rather than vanishing
+    only_null = spark.createDataFrame(
+        [(999, None, None)], "sid long, s_lat double, s_lon double"
+    )
+    row = nearest_neighbor_join(
+        left, only_null, ["fid"], dist, tie_breakers=["sid"]
+    ).collect()[0]
+    assert row["sid"] == 999 and row["dist_km"] is None

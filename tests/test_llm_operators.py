@@ -458,6 +458,29 @@ def test_block_neardup_tiled_matches_gemm(spark):
     assert auto == gemm
 
 
+def test_cross_neardup_empty_batch_yields_zero_pairs(spark):
+    """An empty micro-batch (continuous-ingest idle tick) must emit
+    zero pairs, not crash: np.array([]) is 1-D and norm(axis=1)
+    raised AxisError before the round-9 guard; the GEMM kernel also
+    choked on (n,d) @ (0,0).T and on empty Arrow chunks."""
+    from skysafe_datalake_spark.operators.similarity import (
+        block_neardup_pairs,
+        cross_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty = emb.limit(0)
+    assert cross_neardup_pairs(emb, empty).count() == 0
+    # empty corpus side too (every Arrow chunk is empty)
+    assert cross_neardup_pairs(empty, emb.limit(3)).count() == 0
+    # and an empty hash tile in the tiled strategy
+    assert (
+        block_neardup_pairs(empty, strategy="tiled", max_broadcast_rows=17)
+        .count()
+        == 0
+    )
+
+
 # ───────────────────── product quantization ──────────────────────
 
 

@@ -42,6 +42,51 @@ def test_asof_join_backward_inclusive_and_outer(spark):
     assert out[12] is None  # key 2 has no right rows at all
 
 
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """merge_asof semantics: the payload is whatever the MATCHED row
+    carries — a legitimately-NULL payload on the as-of match must stay
+    NULL, not be back-filled from a staler right row (the round-9
+    ignorenulls bug: independent per-column fills could even stitch
+    different right rows together)."""
+    left = _ts_df(
+        spark,
+        [(1, 10, "2024-01-01 11:05:00")],
+        "k long, lid long, ts_s string",
+    )
+    right = _ts_df(
+        spark,
+        [(1, 7, "old", "2024-01-01 10:00:00"),
+         (1, None, "new", "2024-01-01 11:00:00")],
+        "k long, click_id long, tag string, rts_s string",
+    )
+    row = asof_join(
+        left, right, by=["k"], left_on="ts", right_on="rts",
+        payload=["click_id", "tag"],
+    ).collect()[0]
+    # match is the 11:00 row: click_id NULL (not 7 from 10:00), and
+    # both payload columns come from that same row
+    assert row["click_id"] is None
+    assert row["tag"] == "new"
+    # with a tolerance the 11:00 match is fresh — still NULL, not 7
+    row = asof_join(
+        left, right, by=["k"], left_on="ts", right_on="rts",
+        payload=["click_id", "tag"], tolerance="30 minutes",
+    ).collect()[0]
+    assert row["click_id"] is None and row["tag"] == "new"
+
+
+def test_asof_join_tie_breaker_must_be_payload(spark):
+    import pytest
+
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00")], "k long, lid long, ts_s string")
+    right = _ts_df(spark, [(1, 100, "2024-01-01 00:05:00")], "k long, rid long, rts_s string")
+    with pytest.raises(ValueError, match="must be one of the payload"):
+        asof_join(
+            left, right, by=["k"], left_on="ts", right_on="rts",
+            payload=["rid"], tie_breaker="rts",
+        )
+
+
 def test_asof_join_tie_breaker_picks_greatest(spark):
     left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00")], "k long, lid long, ts_s string")
     right = _ts_df(

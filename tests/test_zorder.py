@@ -162,3 +162,19 @@ def test_compact_refuses_partitioned_dir(spark, tmp_path):
     # A leaf partition compacts fine.
     n = compact(spark, f"{path}/p=1", target_file_mb=64)
     assert n == 1
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """bits * len(cols) > 63 would place a bit at the bigint sign bit
+    (1 << 63 overflows a LongType literal) — rejected loudly instead
+    of failing inside Catalyst or corrupting the key order."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.operators.zorder import zorder_key
+
+    cols8 = [F.col(f"c{i}") for i in range(8)]
+    with pytest.raises(ValueError, match="bits \\* len\\(cols\\) <= 63"):
+        zorder_key(cols8, bits=8)
+    # 63 bits exactly is fine (7 cols x 9 bits)
+    zorder_key([F.col(f"c{i}") for i in range(7)], bits=9)
