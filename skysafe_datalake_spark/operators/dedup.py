@@ -534,13 +534,15 @@ def ngram_jaccard_pairs(
     keys), then Jaccard = |A∩B| / (|A|+|B|-|A∩B|). For 100 TB corpora
     run :func:`minhash_lsh_pairs` first and verify only candidates.
     """
-    # The exploded-shingle table feeds BOTH self-join sides and the
-    # sizes aggregate; materialize it once (module idiom: lazy
-    # localCheckpoint, blocks freed by the ContextCleaner) so the
-    # explode+dropDuplicates doesn't run up to 3x per action.
+    # The exploded-shingle table feeds both self-join sides and the
+    # sizes aggregate, so the explode subtree appears 3x in the plan.
+    # Deliberately NOT checkpoint-materialized: an A/B at sf0.1
+    # (round 9) measured recompute ~25% FASTER than storing the
+    # exploded table — codegen explode+md5 is cheaper per row than
+    # writing and re-reading |docs|·|shingles| materialized rows.
     sh = explode_shingles(df, id_col, text_col, shingle_k).dropDuplicates(
         [id_col, "sh"]
-    ).localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh.select(F.col(id_col).alias("a_id"), "sh")
