@@ -89,6 +89,37 @@ class LakeCatalog:
             reader = reader.schema(schema)
         return reader.load(self.path(layer, source, entity))
 
+    def _latest_partition(
+        self, layer: str, source: str, entity: str
+    ) -> tuple[str, str] | None:
+        """Newest (date, hour) partition from the DIRECTORY listing —
+        the same discovery compact() uses. The former
+        select(date,hour).distinct() was a full data scan
+        (metadata-only optimization is off by default), so finding
+        the latest raw-JSON partition re-parsed every file ever
+        written, O(history) per minute-cadence run. Hours compare
+        numerically so an unpadded hour=8 from a foreign writer still
+        orders correctly."""
+        import os as _os
+
+        root = self.path(layer, source, entity)
+        try:
+            dates = sorted(
+                d for d in _os.listdir(root) if d.startswith("date=")
+            )
+        except FileNotFoundError:
+            return None
+        for date_dir in reversed(dates):  # ISO dates: lexicographic = chrono
+            hours = [
+                h
+                for h in _os.listdir(_os.path.join(root, date_dir))
+                if h.startswith("hour=")
+            ]
+            if hours:
+                best = max(hours, key=lambda h: int(h.split("=", 1)[1]))
+                return date_dir.split("=", 1)[1], best.split("=", 1)[1]
+        return None
+
     def read_latest(
         self,
         spark: SparkSession,
@@ -101,21 +132,17 @@ class LakeCatalog:
         schema=None,
     ) -> DataFrame:
         """Latest date/hour partition only (reference S7,
-        ``src/helpers.py:126-154``). The max() runs on partition
-        columns — satisfied from partition listing, no data read —
-        and the literal equality predicates prune the scan to one
-        directory."""
+        ``src/helpers.py:126-154``). Discovery is a directory listing
+        (no data read); the literal equality predicates then prune
+        the scan to that one directory."""
         df = self.read(
             spark, layer, source, entity, fmt=fmt, options=options, schema=schema
         )
-        latest = df.select("date", "hour").distinct().orderBy(
-            F.col("date").desc(), F.col("hour").desc()
-        ).first()
+        latest = self._latest_partition(layer, source, entity)
         if latest is None:
             return df
-        return df.where(
-            (F.col("date") == latest["date"]) & (F.col("hour") == latest["hour"])
-        )
+        date, hour = latest
+        return df.where((F.col("date") == date) & (F.col("hour") == hour))
 
     def compact(
         self,
@@ -169,6 +196,18 @@ class LakeCatalog:
         for key, (date, hour, before, want) in plan.items():
             part = self.read(spark, layer, source, entity).where(
                 (F.col("date") == date) & (F.col("hour") == hour)
+            )
+            # Re-attach the partition columns as the EXACT directory
+            # strings (the write() convention). Partition-type
+            # inference reads hour=08 back as int 8; writing that
+            # inferred value lands in a NEW hour=8 directory while
+            # dynamic overwrite never clears hour=08 — the partition's
+            # data silently doubles on every compaction (round-9
+            # review, reproduced: 100 rows -> 200).
+            part = (
+                part.drop("date", "hour")
+                .withColumn("date", F.lit(date))
+                .withColumn("hour", F.lit(hour))
             )
             (
                 part.coalesce(want)

@@ -50,6 +50,11 @@ def grid_cell(lat: Column | str, lon: Column | str, cell_deg: float) -> Column:
     instead of a cross join, turning O(N·M) into O(N·candidates).
     """
     lat, lon = _col(lat), _col(lon)
+    # Row stride sized to the ACTUAL longitude cell count: a fixed
+    # 100000 stride silently collides across latitude rows once
+    # cell_deg < 0.0036 (360/cell_deg cells per row), corrupting
+    # equi-join candidates with no error (round-9 review).
+    stride = int(360.0 / cell_deg) + 2
     lat_i = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     lon_i = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
-    return (lat_i * F.lit(100000) + lon_i).alias("grid_cell")
+    return (lat_i * F.lit(stride) + lon_i).alias("grid_cell")

@@ -60,7 +60,14 @@ def quality_score(text: Column) -> Column:
     n_stop = stopword_count(text, "en")
     n_punct = punct_count(text)
     length_term = F.when(n_chars >= 200, 40).when(n_chars >= 50, 25).otherwise(5)
-    stop_term = F.when(n_stop * 100 >= n_words * 5, 30).when(n_stop > 0, 15).otherwise(0)
+    # n_words > 0 gate: a zero-word (punctuation-only/empty) document
+    # must not collect the full stopword-density award via the
+    # vacuous 0*100 >= 0*5 (round-9 review).
+    stop_term = (
+        F.when((n_words > 0) & (n_stop * 100 >= n_words * 5), 30)
+        .when(n_stop > 0, 15)
+        .otherwise(0)
+    )
     punct_term = F.when(n_punct * 100 > n_chars * 10, 0).otherwise(30)
     return (length_term + stop_term + punct_term).cast("int")
 

@@ -74,12 +74,21 @@ def latest_per_key(df: DataFrame, key: str = "icao24", ts: str = "extracted_at")
     payload — deterministic, unlike dropDuplicates). Partial
     aggregation combines map-side, so the shuffle carries ≤1 row per
     key per task — the MERGE-into-keyed-table topology at any scale.
+
+    Two ordering guards (round 9): a NULL timestamp LOSES to every
+    real row (a null first field would otherwise WIN min(struct) and
+    a single unparseable extracted_at would beat all future upserts
+    for its key forever — same hazard operators.nn_join._argmin
+    flags), and recency compares at MICROSECOND precision
+    (unix_timestamp truncates to whole seconds, which let payload
+    bytes pick the survivor among same-second rows).
     """
     payload = [c for c in df.columns if c != key]
     ordered = df.select(
         F.col(key),
         F.struct(
-            (-F.unix_timestamp(F.col(ts))).alias("_neg_ts"),
+            F.col(ts).isNull().cast("int").alias("_null"),
+            (-F.unix_micros(F.col(ts).cast("timestamp"))).alias("_neg_ts"),
             F.struct(*payload).alias("_row"),
         ).alias("_s"),
     )

@@ -90,11 +90,16 @@ def import_dashboard(
         f"{kibana_url}/api/saved_objects/_import"
         f"?overwrite={'true' if overwrite else 'false'}"
     )
+    # Kibana's _import API accepts ONLY multipart/form-data file
+    # uploads (the reference posts requests files={'file': f}); a
+    # form-urlencoded body is rejected outright, so the payload goes
+    # through the transport's files= channel and the filename keeps
+    # its .ndjson suffix (Kibana validates it).
     result = transport(
         "POST",
         endpoint,
         headers={"kbn-xsrf": "true"},
-        data={"file": path.read_text()},
+        files={"file": (path.name, path.read_text())},
         timeout=30.0,
     )
     n_ok = result.get("successCount", 0)

@@ -89,18 +89,43 @@ Transport = Callable[..., dict]
 
 
 def urllib_transport(method: str, url: str, *, params=None, data=None,
-                     json_body=None, headers=None, timeout=30.0) -> dict:
+                     json_body=None, files=None, headers=None,
+                     timeout=30.0) -> dict:
     """Stdlib transport: form-POST (token flow), JSON-POST (proxy),
-    or GET with query params."""
+    multipart file upload (Kibana saved-objects import), or GET with
+    query params. EVERY transport failure — HTTP status errors AND
+    connection-level ones (refused/reset/DNS, the dominant failure
+    while a service is still booting) — surfaces as ``HttpError`` so
+    retry loops like ``serving.kibana.wait_for_kibana`` can catch one
+    type."""
     import urllib.error
     import urllib.parse
     import urllib.request
+    import uuid
 
     if params:
         url = url + "?" + urllib.parse.urlencode(params)
     body = None
     hdrs = dict(headers or {})
-    if data is not None:  # form-encoded (OAuth2 token request)
+    if files is not None:  # multipart/form-data (file upload)
+        boundary = uuid.uuid4().hex
+        parts = []
+        for field_name, (filename, content) in files.items():
+            if isinstance(content, str):
+                content = content.encode()
+            parts.append(
+                (
+                    f"--{boundary}\r\n"
+                    f'Content-Disposition: form-data; name="{field_name}"; '
+                    f'filename="{filename}"\r\n'
+                    "Content-Type: application/octet-stream\r\n\r\n"
+                ).encode()
+                + content
+                + b"\r\n"
+            )
+        body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+        hdrs["Content-Type"] = f"multipart/form-data; boundary={boundary}"
+    elif data is not None:  # form-encoded (OAuth2 token request)
         body = urllib.parse.urlencode(data).encode()
         hdrs.setdefault("Content-Type", "application/x-www-form-urlencoded")
     elif json_body is not None:
@@ -112,6 +137,9 @@ def urllib_transport(method: str, url: str, *, params=None, data=None,
             return json.loads(resp.read().decode())
     except urllib.error.HTTPError as exc:  # pragma: no cover - needs network
         raise HttpError(f"{method} {url} -> {exc.code}") from exc
+    except urllib.error.URLError as exc:
+        # connection refused / reset / DNS: the service isn't up yet
+        raise HttpError(f"{method} {url} -> {exc.reason}") from exc
 
 
 def _utcnow() -> datetime:

@@ -393,7 +393,7 @@ WITH m AS (
 )
 SELECT doc_id, n_chars, n_words, n_punct, n_stop,
        CAST((CASE WHEN n_chars >= 200 THEN 40 WHEN n_chars >= 50 THEN 25 ELSE 5 END)
-          + (CASE WHEN n_stop * 100 >= n_words * 5 THEN 30 WHEN n_stop > 0 THEN 15 ELSE 0 END)
+          + (CASE WHEN n_words > 0 AND n_stop * 100 >= n_words * 5 THEN 30 WHEN n_stop > 0 THEN 15 ELSE 0 END)
           + (CASE WHEN n_punct * 100 > n_chars * 10 THEN 0 ELSE 30 END) AS INTEGER)
          AS quality_score
 FROM m
@@ -1033,7 +1033,7 @@ WITH m AS (
 scored AS (
   SELECT doc_id, lang, text,
          CAST((CASE WHEN n_chars >= 200 THEN 40 WHEN n_chars >= 50 THEN 25 ELSE 5 END)
-            + (CASE WHEN n_stop * 100 >= n_words * 5 THEN 30 WHEN n_stop > 0 THEN 15 ELSE 0 END)
+            + (CASE WHEN n_words > 0 AND n_stop * 100 >= n_words * 5 THEN 30 WHEN n_stop > 0 THEN 15 ELSE 0 END)
             + (CASE WHEN n_punct * 100 > n_chars * 10 THEN 0 ELSE 30 END) AS INTEGER)
            AS quality_score
   FROM m

@@ -163,3 +163,49 @@ def test_approx_aggregates_track_exact(spark):
     spread = max(row["p_exact"]) - min(row["p_exact"]) or 1.0
     for exact, approx in zip(row["p_exact"], row["p_approx"]):
         assert abs(approx - exact) / spread < 0.02
+
+
+def test_quality_score_zero_word_docs_get_no_stopword_award(spark):
+    """A punctuation-only/empty doc has no words; the vacuous
+    0*100 >= 0*5 used to hand it the full 30-point stopword-density
+    term, outranking real short English text (round-9 review)."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.functions.text import quality_score
+
+    rows = spark.createDataFrame(
+        [(1, "!!!"), (2, ""), (3, "the cat and the dog sat there")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["q"]
+        for r in rows.select(
+            "id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    # "!!!": 5 (short) + 0 (no words -> no stopword award) + 0 (all
+    # punctuation trips the noise penalty)
+    assert out[1] == 5
+    # "": 5 + 0 (no stopword award) + 30 (no punctuation)
+    assert out[2] == 35
+    # real text with stopword density >= 5% earns the full 30
+    assert out[3] == 5 + 30 + 30
+
+
+def test_grid_cell_no_cross_row_collisions_at_fine_cells(spark):
+    """The fixed 100000 row stride collided across latitude rows once
+    cell_deg < 0.0036; the stride is now sized to the longitude cell
+    count (round-9 review)."""
+    from pyspark.sql import functions as F
+
+    from skysafe_datalake_spark.functions.geo import grid_cell
+
+    # two points in DIFFERENT cells that collided under the old
+    # stride: lat rows 1 apart used to alias lon cells 100000 apart
+    cell = 0.001  # 360000 lon cells per row > old 100000 stride
+    pts = spark.createDataFrame(
+        [(1, 0.0000, 0.0000), (2, 0.0010, -99.9990)],
+        "id long, lat double, lon double",
+    )
+    out = pts.select(grid_cell("lat", "lon", cell)).distinct()
+    assert out.count() == 2

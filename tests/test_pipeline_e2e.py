@@ -357,7 +357,7 @@ def test_kibana_provisioning_flow(tmp_path):
     calls = {"status": 0}
 
     def transport(method, url, *, params=None, data=None, json_body=None,
-                  headers=None, timeout=None):
+                  files=None, headers=None, timeout=None):
         if url.endswith("/api/status"):
             calls["status"] += 1
             if calls["status"] < 3:  # ready on 3rd poll
@@ -365,7 +365,12 @@ def test_kibana_provisioning_flow(tmp_path):
             return {"status": "available"}
         assert "saved_objects/_import" in url and "overwrite=true" in url
         assert headers["kbn-xsrf"] == "true"
-        assert "index-pattern" in data["file"]
+        # Kibana's _import accepts only multipart file uploads, so the
+        # payload must ride the files= channel with its .ndjson name
+        fname, content = files["file"]
+        assert fname.endswith(".ndjson")
+        assert "index-pattern" in content
+        assert data is None
         return {"successCount": 5, "errors": []}
 
     slept = []
@@ -404,3 +409,109 @@ def test_catalog_orc_round_trip(spark, tmp_path):
         (r["id"], r["name"], r["score"])
         for r in got.select("id", "name", "score").collect()
     } == {(1, "alpha", 1.5), (2, None, -3.25)}
+
+
+def test_latest_per_key_null_ts_loses_and_subsecond_wins(spark):
+    """Round-9 review, both reproduced: a NULL extracted_at row beat
+    every real row forever (null first field wins min(struct)), and
+    unix_timestamp's whole-second truncation let payload bytes pick
+    the survivor among same-second rows."""
+    from skysafe_datalake_spark.plans.usage import latest_per_key
+
+    df = spark.createDataFrame(
+        [("k1", None, "corrupt"),
+         ("k1", "2026-01-01 00:00:01.000000", "old"),
+         ("k1", "2026-01-01 00:00:01.600000", "newest"),
+         ("k2", None, "only-null")],
+        "icao24 string, extracted_at string, v string",
+    ).withColumn("extracted_at", F.to_timestamp("extracted_at"))
+    out = {r["icao24"]: r["v"] for r in latest_per_key(df).collect()}
+    assert out["k1"] == "newest"   # not "corrupt" (null), not "old" (.0 < .6)
+    assert out["k2"] == "only-null"  # all-null key still emits its row
+
+
+def test_compact_preserves_zero_padded_hour_partitions(spark, tmp_path):
+    """Round-9 review, reproduced: partition inference read hour=08
+    back as int 8 and compaction rewrote into a NEW hour=8 dir while
+    dynamic overwrite never cleared hour=08 — the partition's rows
+    doubled on every compact() run."""
+    import os
+    from datetime import datetime, timezone
+
+    cat = LakeCatalog(str(tmp_path / "lake"))
+    ts = datetime(2026, 2, 26, 8, tzinfo=timezone.utc)  # zero-padded hour=08
+    df = spark.range(100).select(F.col("id").alias("v"))
+    # several small writes into the same partition -> many files
+    for chunk in (df.where("v < 50"), df.where("v >= 50")):
+        cat.write(
+            chunk.repartition(4), "formatted", "api", "pad", ts=ts
+        )
+    # dynamic overwrite per-write replaced the partition; write both
+    # halves in ONE write so all 100 rows coexist
+    cat.write(df.repartition(8), "formatted", "api", "pad", ts=ts)
+    root = cat.path("formatted", "api", "pad")
+    assert cat.compact(spark, "formatted", "api", "pad", min_files=2)
+    hours = sorted(
+        h for h in os.listdir(os.path.join(root, "date=2026-02-26"))
+        if h.startswith("hour=")
+    )
+    assert hours == ["hour=08"], hours  # no stray hour=8 twin
+    assert cat.read(spark, "formatted", "api", "pad").count() == 100
+
+
+def test_read_latest_discovers_from_listing(spark, tmp_path):
+    """Latest-partition discovery is a directory listing (no data
+    scan) and still picks the true max across padded/unpadded hours."""
+    from datetime import datetime, timezone
+
+    cat = LakeCatalog(str(tmp_path / "lake"))
+    for day, hour, tag in ((25, 23, "old"), (26, 8, "mid"), (26, 14, "new")):
+        cat.write(
+            spark.createDataFrame([(tag,)], "tag string"),
+            "formatted", "api", "lst",
+            ts=datetime(2026, 2, day, hour, tzinfo=timezone.utc),
+        )
+    rows = cat.read_latest(spark, "formatted", "api", "lst").collect()
+    assert [r["tag"] for r in rows] == ["new"]
+    assert cat._latest_partition("formatted", "api", "missing") is None
+
+
+def test_urllib_transport_maps_connection_errors_to_httperror():
+    """wait_for_kibana retries on HttpError; the dominant boot-time
+    failure is connection-refused (URLError), which escaped the loop
+    before round 9."""
+    import pytest
+
+    with pytest.raises(ingest.HttpError, match="->"):
+        ingest.urllib_transport(
+            "GET", "http://127.0.0.1:1/api/status", timeout=0.5
+        )
+
+
+def test_urllib_transport_builds_multipart_for_files(monkeypatch):
+    """The files= channel must produce a real multipart/form-data body
+    (Kibana's _import rejects anything else)."""
+    import io
+    import json as _json
+    import urllib.request
+
+    captured = {}
+
+    def fake_urlopen(req, timeout=None):
+        captured["body"] = req.data
+        captured["ctype"] = req.get_header("Content-type")
+        return io.BytesIO(_json.dumps({"ok": 1}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    out = ingest.urllib_transport(
+        "POST", "http://kibana.example.com/api/saved_objects/_import",
+        files={"file": ("dash.ndjson", '{"type":"index-pattern"}\n')},
+        headers={"kbn-xsrf": "true"},
+    )
+    assert out == {"ok": 1}
+    assert captured["ctype"].startswith("multipart/form-data; boundary=")
+    boundary = captured["ctype"].split("boundary=", 1)[1]
+    body = captured["body"].decode()
+    assert f"--{boundary}\r\n" in body and f"--{boundary}--" in body
+    assert 'filename="dash.ndjson"' in body
+    assert '{"type":"index-pattern"}' in body
