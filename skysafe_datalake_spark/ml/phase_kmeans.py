@@ -85,99 +85,105 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
         maxIter=20,
     )
     df = df.cache()  # fit + transform + stats re-traverse this plan
-    model = Pipeline(stages=[assembler, scaler, kmeans]).fit(df)
-    # localCheckpoint (lazy), not cache(): the label stats, threshold
-    # aggregate, and the caller's final action all reuse the blocks,
-    # and the ContextCleaner frees them once the result frame is
-    # dropped — cache() entries would leak in the CacheManager across
-    # repeated batch runs (streaming foreachBatch).
-    clustered = model.transform(df).drop(
-        "_ml_features_raw", "_ml_features"
-    ).localCheckpoint(eager=False)
+    # try/finally: an exception anywhere below (fit, stats collect,
+    # threshold first) must still unpersist — foreachBatch RETRIES
+    # the batch and each retry would otherwise cache a fresh copy,
+    # accumulating blocks in the CacheManager (round-9 review).
+    try:
+        model = Pipeline(stages=[assembler, scaler, kmeans]).fit(df)
+        # localCheckpoint (lazy), not cache(): the label stats, threshold
+        # aggregate, and the caller's final action all reuse the blocks,
+        # and the ContextCleaner frees them once the result frame is
+        # dropped — cache() entries would leak in the CacheManager across
+        # repeated batch runs (streaming foreachBatch).
+        clustered = model.transform(df).drop(
+            "_ml_features_raw", "_ml_features"
+        ).localCheckpoint(eager=False)
 
-    centers = model.stages[-1].clusterCenters()
-    max_dist = 0.0
-    for i in range(len(centers)):
-        for j in range(i + 1, len(centers)):
-            max_dist = max(max_dist, float(np.linalg.norm(centers[i] - centers[j])))
-    used_kmeans = max_dist >= MIN_CENTROID_SEPARATION
+        centers = model.stages[-1].clusterCenters()
+        max_dist = 0.0
+        for i in range(len(centers)):
+            for j in range(i + 1, len(centers)):
+                max_dist = max(max_dist, float(np.linalg.norm(centers[i] - centers[j])))
+        used_kmeans = max_dist >= MIN_CENTROID_SEPARATION
 
-    if used_kmeans:
-        # M5: label clusters by ascending avg altitude.
-        stats = (
-            clustered.groupBy("_ml_cluster_id")
-            .agg(F.avg("baro_altitude").alias("avg_altitude"))
-            .collect()
-        )
-        ranked = sorted(stats, key=lambda r: r["avg_altitude"])
-        labels = {}
-        for i, row in enumerate(ranked):
-            if i == 0:
-                labels[row["_ml_cluster_id"]] = PHASE_TAKEOFF_LANDING
-            elif i == len(ranked) - 1:
-                labels[row["_ml_cluster_id"]] = PHASE_CRUISE
-            else:
-                labels[row["_ml_cluster_id"]] = PHASE_CLIMB_DESCENT
-        phase = F.lit("Unknown")
-        for cid, label in labels.items():
-            phase = F.when(F.col("_ml_cluster_id") == cid, F.lit(label)).otherwise(
-                phase
+        if used_kmeans:
+            # M5: label clusters by ascending avg altitude.
+            stats = (
+                clustered.groupBy("_ml_cluster_id")
+                .agg(F.avg("baro_altitude").alias("avg_altitude"))
+                .collect()
             )
-        clustered = clustered.withColumn("flight_phase", phase).withColumn(
-            "flight_phase_id", F.col("_ml_cluster_id").cast("int")
+            ranked = sorted(stats, key=lambda r: r["avg_altitude"])
+            labels = {}
+            for i, row in enumerate(ranked):
+                if i == 0:
+                    labels[row["_ml_cluster_id"]] = PHASE_TAKEOFF_LANDING
+                elif i == len(ranked) - 1:
+                    labels[row["_ml_cluster_id"]] = PHASE_CRUISE
+                else:
+                    labels[row["_ml_cluster_id"]] = PHASE_CLIMB_DESCENT
+            phase = F.lit("Unknown")
+            for cid, label in labels.items():
+                phase = F.when(F.col("_ml_cluster_id") == cid, F.lit(label)).otherwise(
+                    phase
+                )
+            clustered = clustered.withColumn("flight_phase", phase).withColumn(
+                "flight_phase_id", F.col("_ml_cluster_id").cast("int")
+            )
+        else:
+            # M4 fallback: aeronautical threshold rules.
+            clustered = clustered.withColumn(
+                "flight_phase",
+                flight_phase_rules(
+                    F.col("baro_altitude"), F.col("velocity"), F.col("vertical_rate")
+                ),
+            ).withColumn(
+                "flight_phase_id", flight_phase_id(F.col("flight_phase")).cast("int")
+            )
+
+        # M6: distance-to-centroid in normalized space via a broadcast
+        # 3-row centroid table (same arithmetic as the reference's
+        # literal-embedded when-chains, src/combine_spark.py:332-362).
+        scaler_model = model.stages[1]
+        means = scaler_model.mean.toArray()
+        stds = scaler_model.std.toArray()
+        centroid_rows = [
+            (int(cid), *[float(x) for x in center]) for cid, center in enumerate(centers)
+        ]
+        centroids = spark.createDataFrame(
+            centroid_rows, "_ml_cluster_id int, c_vel double, c_alt double, c_vr double"
         )
-    else:
-        # M4 fallback: aeronautical threshold rules.
-        clustered = clustered.withColumn(
-            "flight_phase",
-            flight_phase_rules(
-                F.col("baro_altitude"), F.col("velocity"), F.col("vertical_rate")
-            ),
-        ).withColumn(
-            "flight_phase_id", flight_phase_id(F.col("flight_phase")).cast("int")
+        with_centroid = clustered.join(F.broadcast(centroids), "_ml_cluster_id")
+
+        # A constant feature has std 0; normalize by 1 so it contributes
+        # zero distance (the reference divides by the raw std and would
+        # blow up on degenerate batches under ANSI SQL).
+        norm = [
+            (F.col(feat) - F.lit(float(means[i]))) / F.lit(float(stds[i]) or 1.0)
+            for i, feat in enumerate(ML_FEATURES)
+        ]
+        dist = F.sqrt(
+            (norm[0] - F.col("c_vel")) * (norm[0] - F.col("c_vel"))
+            + (norm[1] - F.col("c_alt")) * (norm[1] - F.col("c_alt"))
+            + (norm[2] - F.col("c_vr")) * (norm[2] - F.col("c_vr"))
+        )
+        scored = with_centroid.withColumn("_dist_to_centroid", dist).localCheckpoint(
+            eager=False
         )
 
-    # M6: distance-to-centroid in normalized space via a broadcast
-    # 3-row centroid table (same arithmetic as the reference's
-    # literal-embedded when-chains, src/combine_spark.py:332-362).
-    scaler_model = model.stages[1]
-    means = scaler_model.mean.toArray()
-    stds = scaler_model.std.toArray()
-    centroid_rows = [
-        (int(cid), *[float(x) for x in center]) for cid, center in enumerate(centers)
-    ]
-    centroids = spark.createDataFrame(
-        centroid_rows, "_ml_cluster_id int, c_vel double, c_alt double, c_vr double"
-    )
-    with_centroid = clustered.join(F.broadcast(centroids), "_ml_cluster_id")
+        # M7: μ + 2σ dynamic threshold (sample stddev, like the reference).
+        st = scored.select(
+            F.avg("_dist_to_centroid").alias("m"),
+            F.stddev("_dist_to_centroid").alias("s"),
+        ).first()
+        threshold = float(st["m"]) + ANOMALY_SIGMA * float(st["s"] or 0.0)
 
-    # A constant feature has std 0; normalize by 1 so it contributes
-    # zero distance (the reference divides by the raw std and would
-    # blow up on degenerate batches under ANSI SQL).
-    norm = [
-        (F.col(feat) - F.lit(float(means[i]))) / F.lit(float(stds[i]) or 1.0)
-        for i, feat in enumerate(ML_FEATURES)
-    ]
-    dist = F.sqrt(
-        (norm[0] - F.col("c_vel")) * (norm[0] - F.col("c_vel"))
-        + (norm[1] - F.col("c_alt")) * (norm[1] - F.col("c_alt"))
-        + (norm[2] - F.col("c_vr")) * (norm[2] - F.col("c_vr"))
-    )
-    scored = with_centroid.withColumn("_dist_to_centroid", dist).localCheckpoint(
-        eager=False
-    )
-
-    # M7: μ + 2σ dynamic threshold (sample stddev, like the reference).
-    st = scored.select(
-        F.avg("_dist_to_centroid").alias("m"),
-        F.stddev("_dist_to_centroid").alias("s"),
-    ).first()
-    threshold = float(st["m"]) + ANOMALY_SIGMA * float(st["s"] or 0.0)
-
-    result = (
-        scored.withColumn("is_anomaly", F.col("_dist_to_centroid") > F.lit(threshold))
-        .withColumn("anomaly_score", F.round(F.col("_dist_to_centroid"), 4))
-        .drop("_dist_to_centroid", "_ml_cluster_id", "c_vel", "c_alt", "c_vr")
-    )
-    df.unpersist()
-    return result, PhaseModelInfo(used_kmeans, max_dist, threshold)
+        result = (
+            scored.withColumn("is_anomaly", F.col("_dist_to_centroid") > F.lit(threshold))
+            .withColumn("anomaly_score", F.round(F.col("_dist_to_centroid"), 4))
+            .drop("_dist_to_centroid", "_ml_cluster_id", "c_vel", "c_alt", "c_vr")
+        )
+        return result, PhaseModelInfo(used_kmeans, max_dist, threshold)
+    finally:
+        df.unpersist()

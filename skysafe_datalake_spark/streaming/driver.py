@@ -76,8 +76,11 @@ def run_flights_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    else:
+    elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    # trigger_seconds=None: leave the default ASAP micro-batch trigger
+    # (the literal string 'None seconds' would fail interval parsing
+    # at query start).
     return writer.start()
 
 

@@ -118,12 +118,19 @@ def write_batch_to_es(batch: DataFrame, options: dict[str, str]) -> None:
     batch.write.format(ES_DATASOURCE).options(**options).mode("append").save()
 
 
-def attach_es_sink(usage_stream, options: dict[str, str]):
-    """foreachBatch hook: mirror each usage micro-batch into ES in
-    addition to the parquet upsert table. Compose inside
-    run_flights_stream's process_batch when the flag is on."""
+def attach_es_sink(usage_stream, options: dict[str, str], *, base=None):
+    """foreachBatch hook that mirrors each usage micro-batch into ES.
+
+    A ``DataStreamWriter`` holds exactly ONE foreachBatch function —
+    calling this on a writer that already registered one (e.g.
+    ``run_flights_stream``'s parquet upsert) would silently REPLACE
+    it, stopping the usage-table writes (round-9 review). Pass that
+    existing batch function as ``base`` and the composed sink runs it
+    first, then the ES mirror — the batch reaches BOTH sinks."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        if base is not None:
+            base(batch, batch_id)
         write_batch_to_es(batch, options)
 
     return usage_stream.foreachBatch(sink)

@@ -150,9 +150,11 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register(
-    "scd2_intervals",
-    """
+# One specification, two queries: the batch build (scd2_intervals)
+# and the incremental merge (scd2_merge_upsert) must verify against
+# the SAME oracle — associativity of scd2_merge is the contract.
+# A pasted twin could drift under a one-sided edit (round-9 review).
+_SCD2_ORACLE_SQL = """
 SELECT o_custkey AS custkey,
        o_orderpriority AS attr_value,
        o_orderdate AS valid_from,
@@ -161,8 +163,10 @@ SELECT o_custkey AS custkey,
        CAST(row_number() OVER w AS INTEGER) AS version
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""",
-)
+"""
+
+
+@register("scd2_intervals", _SCD2_ORACLE_SQL)
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build: each per-key change becomes a
     validity interval [valid_from, valid_to) via ``lead`` over the
@@ -243,6 +247,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial diameters); oracle side: recursive-CTE transitive
     closure — both converge to min-node-id-per-component, so results
     hash-match exactly."""
+    return _doc_clusters(spark, sf_dir)
+
+
+def _doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the first-500-documents slice — the
+    SHARED upstream of dedup_clusters and leakage_safe_split. Both
+    queries' oracles share _CC_CTE, so the engine-side slice,
+    shingle_k, and threshold must stay in lockstep; one helper makes
+    one-sided drift impossible."""
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_k=5, threshold=0.5
@@ -279,11 +292,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is a pure map over (doc_id, cluster_id) — no extra
     shuffle beyond the dedup stage the pipeline already runs; the
     split rides its output for free."""
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    pairs = D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_k=5, threshold=0.5
-    ).select("a_id", "b_id")
-    clusters = dedup_cluster_assign(pairs, docs.select("doc_id"), "doc_id")
+    clusters = _doc_clusters(spark, sf_dir)
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
@@ -413,19 +422,7 @@ def iqr_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_merge_upsert",
-    """
-SELECT o_custkey AS custkey,
-       o_orderpriority AS attr_value,
-       o_orderdate AS valid_from,
-       lead(o_orderdate) OVER w AS valid_to,
-       (lead(o_orderdate) OVER w IS NULL) AS is_current,
-       CAST(row_number() OVER w AS INTEGER) AS version
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""",
-)
+@register("scd2_merge_upsert", _SCD2_ORACLE_SQL)
 def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 maintenance: history built from pre-1996
     orders, then a change batch (1996+) MERGEd in via
@@ -492,6 +489,49 @@ WHERE a.k IS NULL OR b.k IS NULL
 """
 
 
+def _cdc_snapshots(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Synthetic consecutive snapshots A/B of orders (A drops k%10,
+    B drops k%7 and bumps cents for k%3) — the SHARED recipe behind
+    snapshot_diff_cdc and cdc_apply_roundtrip. One definition: the
+    diff the roundtrip applies can never drift from the diff the
+    feed query emits (the ~30-line recipe used to exist twice)."""
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    snap_a = o.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    snap_b = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(100)).otherwise(0)
+        ).alias("cents"),
+    )
+    return snap_a, snap_b
+
+
+def _cdc_changed_rows(snap_a: DataFrame, snap_b: DataFrame):
+    """(changed full-outer-joined rows, op column): the null-safe
+    changed predicate and insert/update/delete classification shared
+    by both CDC queries. Columns resolve via the 'a'/'b' aliases."""
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    changed = (
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | ~F.col("a.status").eqNullSafe(F.col("b.status"))
+        | ~F.col("a.cents").eqNullSafe(F.col("b.cents"))
+    )
+    op = (
+        F.when(F.col("a.k").isNull(), "insert")
+        .when(F.col("b.k").isNull(), "delete")
+        .otherwise("update")
+    )
+    return joined.where(changed), op
+
+
 @register("snapshot_diff_cdc", _CDC_SQL)
 def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changefeed derivation by snapshot diff — the CDC primitive a
@@ -511,35 +551,9 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared in integer cents; the synthetic churn (drop k%7, bump
     k%3 by 100 cents) is pure key arithmetic, identical on both
     engines."""
-    o = load(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
-    snap_a = o.where(F.col("o_orderkey") % 10 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        cents.alias("cents"),
-    )
-    snap_b = o.where(F.col("o_orderkey") % 7 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        (
-            cents
-            + F.when(F.col("o_orderkey") % 3 == 0, F.lit(100)).otherwise(0)
-        ).alias("cents"),
-    )
-    a, b = snap_a.alias("a"), snap_b.alias("b")
-    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
-    changed = (
-        F.col("a.k").isNull()
-        | F.col("b.k").isNull()
-        | ~F.col("a.status").eqNullSafe(F.col("b.status"))
-        | ~F.col("a.cents").eqNullSafe(F.col("b.cents"))
-    )
-    op = (
-        F.when(F.col("a.k").isNull(), "insert")
-        .when(F.col("b.k").isNull(), "delete")
-        .otherwise("update")
-    )
-    return joined.where(changed).select(
+    snap_a, snap_b = _cdc_snapshots(load(spark, sf_dir, "orders"))
+    diff, op = _cdc_changed_rows(snap_a, snap_b)
+    return diff.select(
         F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
         op.alias("op"),
         F.col("a.cents").alias("old_cents"),
@@ -775,34 +789,9 @@ def cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the consumer half of CDC at scale: downstream replicas
     apply feeds instead of re-copying snapshots, and the closure
     invariant is exactly what incremental-replica tests assert."""
-    o = load(spark, sf_dir, "orders")
-    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
-    snap_a = o.where(F.col("o_orderkey") % 10 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        cents.alias("cents"),
-    )
-    snap_b = o.where(F.col("o_orderkey") % 7 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        (
-            cents + F.when(F.col("o_orderkey") % 3 == 0, 100).otherwise(0)
-        ).alias("cents"),
-    )
-    a, b = snap_a.alias("a"), snap_b.alias("b")
-    joined = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
-    changed = (
-        F.col("a.k").isNull()
-        | F.col("b.k").isNull()
-        | ~F.col("a.status").eqNullSafe(F.col("b.status"))
-        | ~F.col("a.cents").eqNullSafe(F.col("b.cents"))
-    )
-    op = (
-        F.when(F.col("a.k").isNull(), "insert")
-        .when(F.col("b.k").isNull(), "delete")
-        .otherwise("update")
-    )
-    feed = joined.where(changed).select(
+    snap_a, snap_b = _cdc_snapshots(load(spark, sf_dir, "orders"))
+    diff, op = _cdc_changed_rows(snap_a, snap_b)
+    feed = diff.select(
         F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
         op.alias("op"),
         F.col("b.status").alias("new_status"),

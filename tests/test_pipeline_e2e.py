@@ -259,6 +259,60 @@ def test_es_sink_contract_without_connector(spark):
         es_sink.write_batch_to_es(df, opts)
 
 
+def test_es_sink_composes_with_existing_batch_function(monkeypatch):
+    """A DataStreamWriter holds exactly ONE foreachBatch function, so
+    attach_es_sink must COMPOSE with the parquet-upsert batch fn via
+    base= (round-9 review: calling it bare silently replaced the
+    upsert and the usage table stopped updating) — and the base runs
+    FIRST so the serving mirror never precedes the table write."""
+    from skysafe_datalake_spark.streaming import es_sink
+
+    calls = []
+    monkeypatch.setattr(
+        es_sink, "write_batch_to_es",
+        lambda batch, options: calls.append(("es", batch)),
+    )
+
+    class FakeWriter:
+        def foreachBatch(self, fn):
+            self.fn = fn
+            return self
+
+    w = es_sink.attach_es_sink(
+        FakeWriter(),
+        {"es.resource": "idx"},
+        base=lambda batch, bid: calls.append(("upsert", batch)),
+    )
+    w.fn("BATCH", 7)
+    assert calls == [("upsert", "BATCH"), ("es", "BATCH")]
+
+
+def test_run_flights_stream_none_trigger_means_default(spark, tmp_path, monkeypatch):
+    """trigger_seconds=None is the advertised way to ask for the
+    default ASAP trigger; it used to interpolate the literal string
+    'None seconds' into trigger(processingTime=...) and crash at
+    query start (round-9 review)."""
+    from skysafe_datalake_spark.streaming import driver as sdriver
+
+    # An EMPTY raw dir: no micro-batch ever fires, so only the trigger
+    # construction (the thing under test) is exercised.
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    weather = spark.createDataFrame([], "station_id long")
+    q = sdriver.run_flights_stream(
+        spark,
+        str(raw),
+        weather,
+        str(tmp_path / "usage"),
+        str(tmp_path / "ckpt"),
+        trigger_seconds=None,  # used to build trigger('None seconds')
+    )
+    try:
+        assert q.isActive  # started: the interval parse did not throw
+    finally:
+        q.stop()
+
+
 def test_catalog_compaction_rewrites_only_fragmented_partitions(spark, tmp_path):
     """Small-file compaction: a fragmented partition collapses to the
     file count its volume needs; already-compact partitions are left
