@@ -1609,6 +1609,8 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "dow")
         .crossJoin(F.broadcast(n))
         .select(
+            "event_type",
+            "dow",
             "o",
             (
                 (F.col("row_tot") * F.col("col_tot")).cast("double")
@@ -1616,11 +1618,16 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected"),
         )
     )
-    n_rows = rt.count()  # k-row dims; counts are scalar actions
-    n_cols = ct.count()
+    # dof from distinct counts INSIDE the one final aggregate over the
+    # |types|x7 cells table — the former rt.count()/ct.count() scalar
+    # actions each re-executed the obs aggregation's full events scan
+    # at plan-construction time (round-9 review: 2 extra jobs for a
+    # constant).
     return cells.agg(
         F.count("*").cast("bigint").alias("n_cells"),
-        F.lit((n_rows - 1) * (n_cols - 1)).cast("bigint").alias("dof"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("dow") - 1)
+        ).cast("bigint").alias("dof"),
         pround(
             dsum(
                 (F.col("o") - F.col("expected"))

@@ -16,7 +16,7 @@ from skysafe_datalake_spark.operators import multimodal as MM
 from skysafe_datalake_spark.operators.similarity import cosine, cosine_topk
 from skysafe_datalake_spark.workload.registry import register
 from skysafe_datalake_spark.workload.sketches import hex_int_sql
-from skysafe_datalake_spark.workload.tables import load, pround
+from skysafe_datalake_spark.workload.tables import load, pround, pround_sql
 
 # ───────────────────────── dedup family ──────────────────────────
 
@@ -319,8 +319,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and multi-probe). The bucket key is an equi-join column, so at
     scale this is a plain shuffled/broadcast hash join instead of a
     cross join."""
-    from pyspark.sql import Window
-
     from skysafe_datalake_spark.operators.similarity import lsh_bucket_candidates
 
     emb = load(spark, sf_dir, "embeddings")
@@ -577,6 +575,29 @@ _SPLIT_BUCKET_SQL = (
 )
 
 
+def _split_bucket():
+    """Engine twin of _SPLIT_BUCKET_SQL: the stable md5 doc-id bucket
+    in [0, 100). One definition for the three split consumers
+    (dataset_split, stratified_sample, llm_corpus_prep) — the SQL side
+    was already centralized, the engine side was pasted 3x and a
+    one-sided hash-width change would only surface at the gate."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+
+
+def _split_label(bucket):
+    """80/10/10 bucket -> split label, aliased 'split'."""
+    return (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split")
+    )
+
+
 @register(
     "dataset_split",
     f"""
@@ -595,18 +616,11 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning), and the same doc lands in the same split on any
     cluster, any engine. Pure map — no shuffle at any scale."""
     docs = load(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _split_bucket()
     return docs.select(
         "doc_id",
         "lang",
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "validation")
-        .otherwise("test")
-        .alias("split"),
+        _split_label(bucket),
     )
 
 
@@ -614,7 +628,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stratified_sample",
     f"""
 WITH rates(lang, rate) AS (VALUES ('en', 10), ('de', 40), ('fr', 40),
-                                  ('es', 70), ('ja', 100))
+                                  ('es', 70), ('zh', 100))
 SELECT d.doc_id, d.lang
 FROM documents d JOIN rates r ON d.lang = r.lang
 WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
@@ -624,22 +638,22 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep-rates
     (down-sample dominant languages, keep the tail) applied through
-    the same stable id-hash as dataset_split. The rate table is a
+    the same stable id-hash as dataset_split. The tail language is the
+    corpus's actual 'zh' — the rate table used to list a nonexistent
+    'ja', so the inner join silently DROPPED every Chinese document at
+    0% (round-9 review; both sides shared the wrong table, so the gate
+    could never catch it). The rate table is a
     broadcast join — at 100 TB this is a map-only scan that never
     shuffles the corpus, and reruns select byte-identical samples
     (sample_fraction/TABLESAMPLE cannot promise either)."""
     docs = load(spark, sf_dir, "documents")
     rates = F.broadcast(
         spark.createDataFrame(
-            [("en", 10), ("de", 40), ("fr", 40), ("es", 70), ("ja", 100)],
+            [("en", 10), ("de", 40), ("fr", 40), ("es", 70), ("zh", 100)],
             "lang STRING, rate INT",
         )
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _split_bucket()
     return (
         docs.join(rates, ["lang"])
         .filter(bucket < F.col("rate"))
@@ -1063,8 +1077,6 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage, the fingerprint canonicalization is the single
     shuffle, and the split assignment stays a pure map — so the whole
     pipeline is one exchange end to end at any scale."""
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
     scored = docs.select(
@@ -1079,20 +1091,13 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = scored.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") == 1
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = _split_bucket()
     return canon.select(
         "doc_id",
         "lang",
         "quality_score",
         T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.when(bucket < 80, "train")
-        .when(bucket < 90, "validation")
-        .otherwise("test")
-        .alias("split"),
+        _split_label(bucket),
     )
 
 
@@ -1259,7 +1264,7 @@ banded AS (
 pairs AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM banded a JOIN banded b USING (band_key)
-  WHERE a.doc_id < b.doc_id AND {_MATCH_SQL} >= 4
+  WHERE a.doc_id < b.doc_id AND {_MATCH_SQL} >= {_MIN_MATCHING}
 ),
 drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
 SELECT doc_id, lang, source, n_chars
@@ -1289,7 +1294,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = D.minhash_signatures(docs, "doc_id", "text", n_hashes=_N_HASHES)
     drops = D.minhash_drop_nonminimal(
-        sigs, "doc_id", n_hashes=_N_HASHES, band_size=2, min_matching=4
+        sigs, "doc_id", n_hashes=_N_HASHES, band_size=2, min_matching=_MIN_MATCHING
     )
     return docs.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
@@ -1308,7 +1313,8 @@ rates AS (
   FROM counts, m
 )
 SELECT d.doc_id, d.lang,
-       (d.doc_id * 2654435761) % 1048576 < r.keep_below AS keep
+       CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+            AS BIGINT) < r.keep_below AS keep
 FROM documents d JOIN rates r USING (lang)
 """,
 )
@@ -1337,8 +1343,19 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(rates), "lang").select(
         "doc_id",
         "lang",
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1048576)
-         < F.col("keep_below")).alias("keep"),
+        # 5 md5 hex chars = exactly [0, 2^20): overflow-free at ANY
+        # doc_id — the former doc_id * 2654435761 exceeded signed
+        # int64 past doc_id ~3.47e9 and ANSI mode aborts the job on
+        # exactly the web-scale ids this query claims to serve
+        # (round-9 review).
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5),
+                16,
+                10,
+            ).cast("long")
+            < F.col("keep_below")
+        ).alias("keep"),
     )
 
 
@@ -1723,8 +1740,6 @@ def mmr_diversity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-round joins are tiny and the unrolled plan is a chain of
     kilobyte-scale operators. The candidate set is localCheckpoint'd
     once so the rounds don't recompute the corpus scan."""
-    from skysafe_datalake_spark.operators.similarity import cosine
-
     emb = load(spark, sf_dir, "embeddings")
     to_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = emb.where(F.col("vec_id") == 0).select(to_d.alias("qv"))
@@ -1884,7 +1899,7 @@ cb AS (SELECT * FROM banded WHERE doc_id % 20 <> 0)
 SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id,
        CAST({_MATCH_SQL} AS INTEGER) AS n_matching
 FROM bb a JOIN cb b USING (band_key)
-WHERE {_MATCH_SQL} >= 4
+WHERE {_MATCH_SQL} >= {_MIN_MATCHING}
 """,
 )
 def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,7 +1923,7 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_hashes=_N_HASHES,
         band_size=2,
-        min_matching=4,
+        min_matching=_MIN_MATCHING,
     )
 
 
@@ -2043,12 +2058,18 @@ _HTML_RAW_SQL = (
 _HTML_A_TEXT = r"<a [^>]*>([^<]*)</a>"
 
 
-_HTML_MR_SQL = (
-    "floor((length(raw_html) - length(clean_text)) * 1000000.0"
-    " / length(raw_html) + 0.5) / 1000000.0"
+# pround_sql so the oracle's IEEE expression tree matches the Spark
+# side's pround exactly: DIVIDE FIRST, then scale. The former
+# diff*1e6/len order diverges from diff/len*1e6 by 1 ulp on 42
+# concrete integer pairs in the realistic length range — enough to
+# flip the floor and fail the value-hash gate (round-9 review).
+_HTML_MR_SQL = pround_sql(
+    "(length(raw_html) - length(clean_text))"
+    " / CAST(length(raw_html) AS DOUBLE)",
+    6,
 )
-_HTML_LD_SQL = (
-    "floor(link_chars * 1000000.0 / length(clean_text) + 0.5) / 1000000.0"
+_HTML_LD_SQL = pround_sql(
+    "link_chars / CAST(length(clean_text) AS DOUBLE)", 6
 )
 
 
