@@ -58,10 +58,15 @@ file maps each query to (cur/prev) ÷ canary_ratio (1.0 = unchanged
 engine cost whatever the host load did; rounds 7 and 8 each needed a
 human to do this division, in opposite directions), and queries past
 1.25x normalized at >= 0.25 s are flagged in the stdout line
-(`noise.normalized_regressions`) and on stderr. The detail file also
-carries `e2e_stage_sec` — per-stage wall seconds inside the composite
-`batch_pipeline_e2e` row, so a regression there is attributable to a
-DAG stage.
+(`noise.normalized_regressions`) and on stderr — qualified by
+`noise.canary_spread`/`normalized_reliable`: when the per-pass canary
+spread exceeds 1.25x the load swung WITHIN the run, the min-canary
+divisor and a query's min sample can come from differently-loaded
+passes, and the flags are marked unreliable (observed: 17 spurious
+flags on a run whose loadavg rose 2.3 -> 5.0 mid-sweep). The detail
+file also carries `e2e_stage_sec` — per-stage wall seconds inside the
+composite `batch_pipeline_e2e` row, so a regression there is
+attributable to a DAG stage.
 """
 
 from __future__ import annotations
@@ -343,6 +348,15 @@ def _canary_comparison(
     (data, round, file) triple so the prior-round files are walked
     once per run."""
     out: dict = {"canary_min": min(canary_sec) if canary_sec else None}
+    # Intra-run load swing detector: normalization divides by the MIN
+    # canary, but a query's min sample can come from a DIFFERENT,
+    # loaded pass — observed live: canaries [0.12, 0.06, 0.113] while
+    # loadavg rose 2.3 -> 5.0 flagged 17 spurious "regressions"
+    # including a behaviorally-unchanged query at 1.49x. A wide
+    # canary spread within one run marks the normalized ratios
+    # themselves as unreliable.
+    if canary_sec and min(canary_sec) > 0:
+        out["canary_spread"] = round(max(canary_sec) / min(canary_sec), 3)
     if prev_lookup is None:
         prev_lookup = _prev_round_data(repo_root, rnd)
     prev_data, prev_rnd, prev_file = prev_lookup
@@ -517,15 +531,28 @@ def main() -> None:
     )
     regressions = _flag_regressions(normalized, timings, prev_queries)
     noise["normalized_regressions"] = regressions
+    # A wide intra-run canary spread means the min-canary divisor and
+    # a query's min sample can come from differently-loaded passes —
+    # the flags below are then suspicion, not evidence.
+    unstable = (noise.get("canary_spread") or 1.0) > _NOISY_HOST_RATIO
+    noise["normalized_reliable"] = not unstable
     if normalized:
         if regressions:
             worst = ", ".join(
                 f"{n} x{r} ({timings[n]:.2f}s)" for n, r in regressions.items()
             )
+            qualifier = (
+                " [UNRELIABLE: intra-run canary spread "
+                f"x{noise['canary_spread']} — load swung mid-run; "
+                "re-run on a quieter host before believing these]"
+                if unstable
+                else ""
+            )
             print(
                 f"# normalized regressions vs r{prev_rnd} (> "
                 f"{_NORMALIZED_REGRESSION_RATIO}x after canary "
-                f"correction, >= {_REGRESSION_MIN_SEC}s): {worst}",
+                f"correction, >= {_REGRESSION_MIN_SEC}s){qualifier}: "
+                f"{worst}",
                 file=sys.stderr,
             )
         else:

@@ -184,7 +184,21 @@ def test_canary_comparison_comparable_host(tmp_path):
 
 def test_canary_comparison_without_prior_round(tmp_path):
     out = bench._canary_comparison([0.1], str(tmp_path), 1)
-    assert out == {"canary_min": 0.1, "prev_canary": None}
+    assert out == {
+        "canary_min": 0.1,
+        "canary_spread": 1.0,
+        "prev_canary": None,
+    }
+
+
+def test_canary_spread_marks_intra_run_load_swing(tmp_path):
+    # Observed live: canaries [0.12, 0.06, 0.113] while loadavg rose
+    # 2.3 -> 5.0 — the min divisor and a query's min sample came from
+    # differently-loaded passes and 17 spurious regressions were
+    # flagged. The spread records that instability in the artifact.
+    out = bench._canary_comparison([0.12, 0.06, 0.113], str(tmp_path), 1)
+    assert out["canary_spread"] == 2.0  # 0.12 / 0.06
+    assert out["canary_min"] == 0.06
 
 
 def test_canary_comparison_flags_quieter_host_too(tmp_path):
