@@ -99,10 +99,22 @@ class LakeCatalog:
         the latest raw-JSON partition re-parsed every file ever
         written, O(history) per minute-cadence run. Hours compare
         numerically so an unpadded hour=8 from a foreign writer still
-        orders correctly."""
+        orders correctly; hour values that don't parse as int (e.g.
+        hour=__HIVE_DEFAULT_PARTITION__ from a foreign writer) are
+        skipped, and so are hour dirs with no data files (a failed or
+        in-flight write leaves an empty dir — selecting it would
+        return zero rows while older populated partitions exist).
+
+        Returns None when the root can't be LISTED locally — a
+        URI-schemed lake root (file://, s3a://, ...) Spark's writer
+        accepts but os.listdir can't see, or a missing local dir.
+        read_latest then falls back to Spark-side discovery instead
+        of silently skipping the filter."""
         import os as _os
 
         root = self.path(layer, source, entity)
+        if "://" in root:
+            return None  # only Spark can list this filesystem
         try:
             dates = sorted(
                 d for d in _os.listdir(root) if d.startswith("date=")
@@ -110,13 +122,24 @@ class LakeCatalog:
         except FileNotFoundError:
             return None
         for date_dir in reversed(dates):  # ISO dates: lexicographic = chrono
-            hours = [
-                h
-                for h in _os.listdir(_os.path.join(root, date_dir))
-                if h.startswith("hour=")
-            ]
+            hours = []
+            for h in _os.listdir(_os.path.join(root, date_dir)):
+                if not h.startswith("hour="):
+                    continue
+                try:
+                    hour_num = int(h.split("=", 1)[1])
+                except ValueError:
+                    continue
+                full = _os.path.join(root, date_dir, h)
+                has_data = any(
+                    not f.startswith((".", "_"))
+                    for f in _os.listdir(full)
+                    if _os.path.isfile(_os.path.join(full, f))
+                )
+                if has_data:
+                    hours.append((hour_num, h))
             if hours:
-                best = max(hours, key=lambda h: int(h.split("=", 1)[1]))
+                best = max(hours)[1]
                 return date_dir.split("=", 1)[1], best.split("=", 1)[1]
         return None
 
@@ -134,11 +157,37 @@ class LakeCatalog:
         """Latest date/hour partition only (reference S7,
         ``src/helpers.py:126-154``). Discovery is a directory listing
         (no data read); the literal equality predicates then prune
-        the scan to that one directory."""
+        the scan to that one directory. When the root can't be listed
+        locally (URI-schemed lake roots: file://, s3a://, ...), falls
+        back to a Spark-side distinct() over the partition columns —
+        a partition-values scan instead of a listing, but correct on
+        any filesystem Spark can read (returning ALL partitions would
+        be a silent semantic downgrade)."""
         df = self.read(
             spark, layer, source, entity, fmt=fmt, options=options, schema=schema
         )
         latest = self._latest_partition(layer, source, entity)
+        if latest is None and {"date", "hour"} <= set(df.columns):
+            row = (
+                df.select("date", "hour")
+                .distinct()
+                .orderBy(
+                    F.col("date").desc(),
+                    # numeric hour ordering, tolerant of foreign
+                    # non-numeric values (try_cast: NULL, sorts last)
+                    F.expr("try_cast(hour AS INT)").desc_nulls_last(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if row:
+                # Filter on the COLUMN-TYPED values (partition
+                # inference may have read hour=08 as int 8 — a
+                # stringified "8" would no longer match the column).
+                d_v, h_v = row[0]["date"], row[0]["hour"]
+                return df.where(
+                    (F.col("date") == F.lit(d_v)) & (F.col("hour") == F.lit(h_v))
+                )
         if latest is None:
             return df
         date, hour = latest

@@ -49,12 +49,27 @@ def grid_cell(lat: Column | str, lon: Column | str, cell_deg: float) -> Column:
     broadcastable: equi-join candidate cells (cell + 8 neighbors)
     instead of a cross join, turning O(N·M) into O(N·candidates).
     """
+    if not cell_deg > 0:
+        raise ValueError(
+            f"grid_cell needs cell_deg > 0; got {cell_deg!r} "
+            "(zero divides, negative inverts the grid)"
+        )
     lat, lon = _col(lat), _col(lon)
     # Row stride sized to the ACTUAL longitude cell count: a fixed
     # 100000 stride silently collides across latitude rows once
     # cell_deg < 0.0036 (360/cell_deg cells per row), corrupting
     # equi-join candidates with no error (round-9 review).
     stride = int(360.0 / cell_deg) + 2
+    # Max key ≈ (180/cell_deg)·stride + 360/cell_deg must fit a signed
+    # bigint or lat_i * stride silently wraps and distant cells alias
+    # (the same sign-bit hazard zorder_key guards at bits*n <= 63) —
+    # trips below cell_deg ≈ 3.6e-8, i.e. sub-millimeter cells.
+    if (int(180.0 / cell_deg) + 2) * stride > (1 << 63) - 1:
+        raise ValueError(
+            f"grid_cell cell_deg={cell_deg!r} needs "
+            f"~{int(180.0 / cell_deg) + 2} x {stride} cell ids — past "
+            "a signed bigint; use a coarser cell_deg"
+        )
     lat_i = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long")
     lon_i = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long")
     return (lat_i * F.lit(stride) + lon_i).alias("grid_cell")

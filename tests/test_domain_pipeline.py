@@ -250,6 +250,52 @@ def test_catalog_partitioned_write_read_latest(spark, tmp_path):
     assert "hour=14" in plan or "PartitionFilters" in plan
 
 
+def test_read_latest_uri_schemed_root_falls_back_to_spark(spark, tmp_path):
+    """ADVICE r9: a file:// (or s3a://) lake root is writable by Spark
+    but invisible to os.listdir — _latest_partition must answer None
+    and read_latest must fall back to Spark-side distinct() discovery
+    instead of silently returning ALL partitions."""
+    from datetime import datetime, timezone
+
+    cat = LakeCatalog("file://" + str(tmp_path / "lake"))
+    df = spark.range(5).withColumnRenamed("id", "x")
+    cat.write(df, "formatted", "opensky", "flights",
+              ts=datetime(2026, 2, 26, 13, 0, tzinfo=timezone.utc))
+    cat.write(df.withColumn("x", F.col("x") + 100), "formatted", "opensky",
+              "flights", ts=datetime(2026, 2, 26, 14, 0, tzinfo=timezone.utc))
+    assert cat._latest_partition("formatted", "opensky", "flights") is None
+    latest = cat.read_latest(spark, "formatted", "opensky", "flights")
+    assert sorted(r["x"] for r in latest.collect()) == [100, 101, 102, 103, 104]
+
+
+def test_latest_partition_skips_foreign_and_empty_hour_dirs(spark, tmp_path):
+    """ADVICE r9: a foreign writer's hour=__HIVE_DEFAULT_PARTITION__
+    crashed the int() parse, and an empty hour dir (failed/in-flight
+    write) won the max and returned zero rows while older populated
+    partitions existed. Both are now skipped; a dir holding only a
+    _SUCCESS marker counts as empty too."""
+    import os
+    from datetime import datetime, timezone
+
+    cat = LakeCatalog(str(tmp_path))
+    df = spark.range(3).withColumnRenamed("id", "x")
+    cat.write(df, "formatted", "opensky", "flights",
+              ts=datetime(2026, 2, 26, 13, 0, tzinfo=timezone.utc))
+    date_dir = os.path.join(
+        str(tmp_path), "formatted", "opensky", "flights", "date=2026-02-26"
+    )
+    os.makedirs(os.path.join(date_dir, "hour=__HIVE_DEFAULT_PARTITION__"))
+    os.makedirs(os.path.join(date_dir, "hour=23"))  # in-flight: no files
+    os.makedirs(os.path.join(date_dir, "hour=22"))
+    open(os.path.join(date_dir, "hour=22", "_SUCCESS"), "w").close()
+    assert cat._latest_partition("formatted", "opensky", "flights") == (
+        "2026-02-26",
+        "13",
+    )
+    latest = cat.read_latest(spark, "formatted", "opensky", "flights")
+    assert sorted(r["x"] for r in latest.collect()) == [0, 1, 2]
+
+
 def test_streaming_flights_pipeline(spark, tmp_path, weather):
     from skysafe_datalake_spark.streaming.driver import run_flights_stream
 
@@ -363,12 +409,15 @@ def test_ml_pipeline_golden_snapshot_sf001(spark):
 
     The closed-form twin (`ml_rules_fallback`, oracle-checked by the
     driver) covers the fallback path; this covers the clustering path
-    SQL can't express."""
+    SQL can't express. Snapshots the FULL 8-column output
+    (skysafe_ml_full) — the registered `skysafe_ml_pipeline` gate
+    query projects the relational subset for the DuckDB oracle
+    (VERDICT r9 #4), so this hash is what verifies the ML columns."""
     import hashlib
 
-    from skysafe_datalake_spark.workload import QUERIES
+    from skysafe_datalake_spark.workload.domain import skysafe_ml_full
 
-    df = QUERIES["skysafe_ml_pipeline"](spark, "/root/testdata/sf0.01")
+    df = skysafe_ml_full(spark, "/root/testdata/sf0.01")
     cols = sorted(df.columns)
     rows = sorted(
         "|".join(repr(r[c]) if isinstance(r[c], float) else str(r[c]) for c in cols)

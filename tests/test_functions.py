@@ -209,3 +209,19 @@ def test_grid_cell_no_cross_row_collisions_at_fine_cells(spark):
     )
     out = pts.select(grid_cell("lat", "lon", cell)).distinct()
     assert out.count() == 2
+
+
+def test_grid_cell_rejects_degenerate_cell_deg(spark):
+    """ADVICE r9: cell_deg <= 0 raised ZeroDivisionError (or silently
+    inverted the grid), and below ~3.6e-8 deg lat_i * stride wrapped a
+    signed bigint so distant cells aliased — both now explicit errors,
+    mirroring zorder_key's bits*n <= 63 guard."""
+    from skysafe_datalake_spark.functions.geo import grid_cell
+
+    for bad in (0.0, -0.5):
+        with pytest.raises(ValueError, match="cell_deg > 0"):
+            grid_cell("lat", "lon", bad)
+    with pytest.raises(ValueError, match="bigint"):
+        grid_cell("lat", "lon", 1e-9)
+    # ~1e-7 deg (centimeter cells) still fits: no raise
+    grid_cell("lat", "lon", 1e-7)
