@@ -292,6 +292,27 @@ def test_memory_sink_site_attribution_is_ast_accurate(tmp_path):
     ]
 
 
+def test_write_markdown_byte_idempotent_under_dict_order(tmp_path):
+    """Round-9 judge re-run on an unchanged tree produced a 4-line
+    reorder diff: equal-shuffle-count budget rows followed dict order
+    (which varies with the registry's staleness sort). The top-plans
+    table tie-breaks on the query name now, so regeneration is
+    byte-idempotent whatever order the sweep visited the queries in."""
+    from tools.plan_audit import write_markdown
+
+    budget_a = {"q_b": (6, 1), "q_a": (6, 2), "q_d": (5, 3), "q_c": (5, 0)}
+    budget_b = {k: budget_a[k] for k in ("q_c", "q_a", "q_d", "q_b")}
+    p1, p2 = tmp_path / "a.md", tmp_path / "b.md"
+    write_markdown(str(p1), [], [], {}, 4, "sf0.001", budget=budget_a)
+    write_markdown(str(p2), [], [], {}, 4, "sf0.001", budget=budget_b)
+    text = p1.read_text()
+    assert text == p2.read_text()
+    # ties resolve by name, descending shuffle count first
+    assert text.index("`q_a`") < text.index("`q_b`")
+    assert text.index("`q_b`") < text.index("`q_c`")
+    assert text.index("`q_c`") < text.index("`q_d`")
+
+
 def test_adjudications_name_a_bound():
     """Every allowlist entry must say WHY it is safe at scale — a
     non-empty justification naming a bound (rows / 1-row / k / fixed

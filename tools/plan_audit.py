@@ -489,7 +489,11 @@ def write_markdown(
     if budget:
         total_s = sum(s for s, _ in budget.values())
         total_b = sum(b for _, b in budget.values())
-        top = sorted(budget.items(), key=lambda kv: -kv[1][0])[:15]
+        # Stable tie-break on the query name: equal-shuffle-count rows
+        # otherwise reorder run-to-run (dict order varies with the
+        # registry's staleness sort) and regeneration diffs become
+        # noise (round-9 judge re-run produced a 4-line reorder diff).
+        top = sorted(budget.items(), key=lambda kv: (-kv[1][0], kv[0]))[:15]
         lines += [
             "",
             "## Shuffle budget (PINNED gate — PLAN_BUDGET.json)",
