@@ -54,19 +54,40 @@ single-query samples.
 
 Round 9 closes the loop: the run NORMALIZES every per-query delta by
 the canary ratio itself — `normalized_ratio_vs_prev` in the detail
-file maps each query to (cur/prev) ÷ canary_ratio (1.0 = unchanged
-engine cost whatever the host load did; rounds 7 and 8 each needed a
-human to do this division, in opposite directions), and queries past
-1.25x normalized at >= 0.25 s are flagged in the stdout line
-(`noise.normalized_regressions`) and on stderr — qualified by
-`noise.canary_spread`/`normalized_reliable`: when the per-pass canary
-spread exceeds 1.25x the load swung WITHIN the run, the min-canary
-divisor and a query's min sample can come from differently-loaded
-passes, and the flags are marked unreliable (observed: 17 spurious
-flags on a run whose loadavg rose 2.3 -> 5.0 mid-sweep). The detail
-file also carries `e2e_stage_sec` — per-stage wall seconds inside the
-composite `batch_pipeline_e2e` row, so a regression there is
-attributable to a DAG stage.
+file maps each query to a host-speed-corrected cur/prev ratio (1.0 =
+unchanged engine cost whatever the host load did; rounds 7 and 8 each
+needed a human to do this division, in opposite directions), and
+queries past 1.25x normalized at >= 0.25 s are flagged in the stdout
+line (`noise.normalized_regressions`) and on stderr.
+
+Round 10 fixes the arithmetic the r9 telemetry showed was unsound
+under INTRA-run load swings: dividing cross-round mins by the
+run-min canary breaks when a query's min sample comes from a loaded
+pass while the canary min came from a quiet one (observed live:
+canary spread 1.465, query samples swinging 4-8x across passes —
+r9's own deltas ended up certified by nothing). The normalization is
+now PER-PASS when both rounds recorded per-pass samples (every
+BENCH_DETAIL since r6 does): each pass's wall is divided by the SAME
+pass's canary, and the min of those canary-relative costs is
+compared across rounds. Under the multiplicative load model
+(wall_i ~= base*load_i, canary_i ~= canary_base*load_i) numerator
+and denominator always share a pass, so the ratio recovers the
+engine cost whatever the load did between passes —
+`noise.normalized_method` records "per_pass" and the flags stay
+reliable under swing load. When the previous round only has
+min-of-passes numbers (driver stdout captures), the old run-min
+arithmetic is the fallback and `normalized_reliable` degrades to the
+canary-spread check exactly as before.
+
+A loadavg gate (round 10, `SPARK_GRAFT_QUIET_LOAD`, default 2.0)
+also delays the timed passes until the 1-min loadavg drops below the
+bar — at most `SPARK_GRAFT_QUIET_WAIT` (default 180) seconds — so
+committed records tend to come from quiet hosts in the first place;
+`noise.quiet_start` records what the gate saw and did.
+
+The detail file also carries `e2e_stage_sec` — per-stage wall
+seconds inside the composite `batch_pipeline_e2e` row, so a
+regression there is attributable to a DAG stage.
 """
 
 from __future__ import annotations
@@ -215,6 +236,44 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+def _await_quiet_host(
+    threshold: float, max_wait: float, poll: float = 15.0
+) -> dict:
+    """Delay the timed passes until the 1-min loadavg drops below
+    ``threshold``, waiting at most ``max_wait`` seconds (then proceed
+    anyway — the canary telemetry still records the contention). Both
+    committed full sweeps since r7 ran on loaded hosts; starting quiet
+    is cheaper than correcting afterwards. Returns the record for
+    ``noise.quiet_start``."""
+    start_la = _loadavg()
+    waited = 0.0
+    la = start_la
+    while (
+        la is not None
+        and la[0] >= threshold
+        and waited < max_wait
+    ):
+        step = min(poll, max_wait - waited)
+        time.sleep(step)
+        waited += step
+        la = _loadavg()
+    out = {
+        "threshold": threshold,
+        "waited_sec": round(waited, 1),
+        "loadavg_before": start_la,
+        "loadavg_after": la,
+        "gave_up": bool(la is not None and la[0] >= threshold),
+    }
+    if waited:
+        print(
+            f"# quiet-start gate: waited {out['waited_sec']}s for "
+            f"loadavg < {threshold} (start {start_la}, now {la})"
+            + (" — GAVE UP, proceeding loaded" if out["gave_up"] else ""),
+            file=sys.stderr,
+        )
+    return out
+
+
 def _canary(spark) -> float:
     """Fixed-cost host-speed probe: pure-CPU sum over a 32M-row range
     in 32 tasks, zero I/O, one row to the driver. The work NEVER
@@ -282,16 +341,70 @@ def _prev_canary_min(repo_root: str, rnd: int):
     return min(float(c) for c in canaries), prev, fname
 
 
+def _per_pass_costs(
+    samples: dict[str, list], canaries: list
+) -> dict[str, float]:
+    """Canary-relative per-query cost: each pass's wall divided by the
+    SAME pass's canary, then the min across passes. Under the
+    multiplicative load model (wall_i ~= base*load_i, canary_i ~=
+    canary_base*load_i) every quotient estimates base/canary_base, so
+    the min is load-independent however the load swung BETWEEN passes
+    — the r9 failure (min wall from a loaded pass divided by the min
+    canary from a quiet one) cannot arise because numerator and
+    denominator always share a pass. A per-query stall in one pass
+    (not host-wide, so not in that pass's canary) inflates only that
+    pass's quotient and the min discards it, same as min-of-walls
+    always did."""
+    costs: dict[str, float] = {}
+    for name, walls in samples.items():
+        vals = []
+        for i, c in enumerate(canaries):
+            try:
+                c_f = float(c)
+                w = float(walls[i])
+            except (IndexError, TypeError, ValueError):
+                continue
+            if c_f > 0 and w >= 0:
+                vals.append(w / c_f)
+        if vals:
+            costs[name] = min(vals)
+    return costs
+
+
+def _normalized_ratios_per_pass(
+    cur_samples: dict[str, list],
+    cur_canaries: list,
+    prev_samples: dict[str, list],
+    prev_canaries: list,
+) -> dict[str, float]:
+    """Per-query regression signal from per-pass records on BOTH
+    sides: min_i(cur_i/canary_i) / min_j(prev_j/canary_j). 1.0 =
+    unchanged engine cost whatever the load did, between rounds or
+    WITHIN either run."""
+    cur_costs = _per_pass_costs(cur_samples, cur_canaries)
+    prev_costs = _per_pass_costs(prev_samples, prev_canaries)
+    out: dict[str, float] = {}
+    for name, c in cur_costs.items():
+        p = prev_costs.get(name)
+        if p and p > 0:
+            out[name] = round(c / p, 3)
+    return out
+
+
 def _normalized_ratios(
     cur: dict, prev: dict, canary_ratio: float | None
 ) -> dict[str, float]:
-    """Per-query regression signal with host speed divided out:
+    """Fallback per-query regression signal when the previous round
+    recorded only min-of-passes numbers (no per-pass samples):
     (cur_sec / prev_sec) / canary_ratio, for every query present in
     both rounds. The canary is a fixed-cost probe, so its cross-round
     ratio IS the host-speed factor — dividing it out is the manual
     arithmetic rounds 7 and 8 each needed a human for, done in the
     artifact itself. 1.0 = unchanged engine cost regardless of how
-    differently loaded the two hosts were."""
+    differently loaded the two hosts were. Caveat (the r9 hole, fixed
+    by the per-pass path): mins can come from differently-loaded
+    passes, so these ratios are only reliable when the intra-run
+    canary spread is small."""
     if not prev or not canary_ratio or canary_ratio <= 0:
         return {}
     out: dict[str, float] = {}
@@ -390,6 +503,15 @@ def main() -> None:
     ) == "1"
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
+    # Loadavg gate BEFORE the session/warm-up (afterwards the 1-min
+    # loadavg mostly reads our own warm-up and we'd wait on our own
+    # wake). SPARK_GRAFT_QUIET_LOAD=0 disables.
+    quiet_load = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "2.0"))
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "180"))
+    quiet_start = (
+        _await_quiet_host(quiet_load, quiet_wait) if quiet_load > 0 else None
+    )
+
     spark = get_spark(app_name="skysafe-bench", master=f"local[{CPUS}]")
     headline = [n for n in HEADLINE if n in QUERIES]
     names = list(QUERIES) if run_all else headline
@@ -470,6 +592,8 @@ def main() -> None:
     loadavgs.append(_loadavg())
     timings = {n: min(s) for n, s in samples.items()}
     noise = {"loadavg": loadavgs, "canary_sec": canary_sec}
+    if quiet_start is not None:
+        noise["quiet_start"] = quiet_start
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -511,7 +635,10 @@ def main() -> None:
         )
 
     # Canary-normalized per-query deltas vs the previous recorded
-    # round: (cur/prev) ÷ canary ratio, host speed divided out. The
+    # round, host speed divided out. PER-PASS when the prior round
+    # recorded per-pass samples (each wall ÷ its own pass's canary,
+    # min of the quotients — sound under intra-run load swings);
+    # run-min fallback otherwise, qualified by the canary spread. The
     # full map goes to the detail file; flagged regressions (>1.25x
     # normalized, ≥0.25 s) go to the stdout line and stderr so a real
     # engine regression is visible without any manual division.
@@ -526,15 +653,30 @@ def main() -> None:
         )
         prev_data = None
     prev_queries = (prev_data or {}).get("queries") or {}
-    normalized = _normalized_ratios(
-        timings, prev_queries, noise.get("canary_ratio_vs_prev")
-    )
+    prev_samples = (prev_data or {}).get("samples") or {}
+    prev_canaries = ((prev_data or {}).get("noise") or {}).get(
+        "canary_sec"
+    ) or []
+    per_pass = bool(prev_samples) and bool(prev_canaries)
+    if per_pass:
+        normalized = _normalized_ratios_per_pass(
+            samples, canary_sec, prev_samples, prev_canaries
+        )
+        unstable = False
+    else:
+        normalized = _normalized_ratios(
+            timings, prev_queries, noise.get("canary_ratio_vs_prev")
+        )
+        # Run-min arithmetic only: a wide intra-run canary spread
+        # means the min-canary divisor and a query's min sample can
+        # come from differently-loaded passes — the flags below are
+        # then suspicion, not evidence.
+        unstable = (noise.get("canary_spread") or 1.0) > _NOISY_HOST_RATIO
     regressions = _flag_regressions(normalized, timings, prev_queries)
     noise["normalized_regressions"] = regressions
-    # A wide intra-run canary spread means the min-canary divisor and
-    # a query's min sample can come from differently-loaded passes —
-    # the flags below are then suspicion, not evidence.
-    unstable = (noise.get("canary_spread") or 1.0) > _NOISY_HOST_RATIO
+    noise["normalized_method"] = (
+        ("per_pass" if per_pass else "run_min") if normalized else None
+    )
     noise["normalized_reliable"] = not unstable
     if normalized:
         if regressions:
@@ -558,8 +700,9 @@ def main() -> None:
         else:
             print(
                 f"# no normalized per-query regressions vs r{prev_rnd} "
-                f"(all (cur/prev)/canary <= {_NORMALIZED_REGRESSION_RATIO}x "
-                f"at >= {_REGRESSION_MIN_SEC}s)",
+                f"({noise['normalized_method']} canary normalization, "
+                f"all <= {_NORMALIZED_REGRESSION_RATIO}x at >= "
+                f"{_REGRESSION_MIN_SEC}s)",
                 file=sys.stderr,
             )
 
@@ -590,10 +733,14 @@ def main() -> None:
                     "queries": timings,
                     "samples": samples,
                     "noise": noise,
-                    # (cur/prev) ÷ canary ratio per query — 1.0 means
-                    # unchanged engine cost whatever the host load did.
+                    # Canary-normalized cur/prev per query — 1.0 means
+                    # unchanged engine cost whatever the host load did
+                    # (method "per_pass": each wall ÷ its own pass's
+                    # canary, min of quotients, both rounds; "run_min":
+                    # the r6-r9 min-based fallback).
                     "normalized_ratio_vs_prev": {
                         "vs_round": prev_rnd,
+                        "method": noise.get("normalized_method"),
                         "queries": normalized,
                     } if normalized else None,
                     "e2e_stage_sec": e2e_stage_sec,

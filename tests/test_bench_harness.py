@@ -254,6 +254,84 @@ def test_normalized_ratios_edge_cases():
     assert bench._normalized_ratios({"q": 1.0}, {"q": 0.0}, 1.0) == {}
 
 
+def test_per_pass_normalization_survives_intra_run_load_swing():
+    """The r9 hole, closed (VERDICT r9 #1): previous round quiet
+    throughout (canaries 0.06, query 1.0 s). Current round swings —
+    pass 1 loaded 3x (canary 0.18, query 3.0), pass 2 loaded 2x
+    (canary 0.12, query 2.0), pass 3 quiet for the canary (0.06) but
+    the query ate a per-query stall (2.5). The engine never changed.
+
+    Run-min arithmetic: canary ratio 0.06/0.06 = 1.0, min wall 2.0 →
+    a phantom 2.0x "regression" (exactly the 17 spurious flags r9
+    observed live). Per-pass: each wall ÷ its own pass's canary →
+    min(16.67, 16.67, 41.7) vs prev 16.67 → 1.0, nothing flagged."""
+    prev_samples = {"q": [1.0, 1.0, 1.0]}
+    prev_canaries = [0.06, 0.06, 0.06]
+    cur_samples = {"q": [3.0, 2.0, 2.5]}
+    cur_canaries = [0.18, 0.12, 0.06]
+
+    # the old run-min arithmetic flags the phantom regression
+    old = bench._normalized_ratios({"q": 2.0}, {"q": 1.0}, 0.06 / 0.06)
+    assert old == {"q": 2.0}
+    assert bench._flag_regressions(old, {"q": 2.0}, {"q": 1.0}) == {"q": 2.0}
+
+    # per-pass normalization reads the unchanged engine cost
+    new = bench._normalized_ratios_per_pass(
+        cur_samples, cur_canaries, prev_samples, prev_canaries
+    )
+    assert new == {"q": 1.0}
+    assert bench._flag_regressions(new, {"q": 2.0}, {"q": 1.0}) == {}
+
+
+def test_per_pass_normalization_keeps_real_regressions():
+    # A true 2x engine regression under an identical swing-load
+    # pattern still reads 2.0 — normalization must not launder it.
+    ratios = bench._normalized_ratios_per_pass(
+        {"q": [2.0, 4.0]}, [0.06, 0.12], {"q": [1.0, 2.0]}, [0.06, 0.12]
+    )
+    assert ratios == {"q": 2.0}
+
+
+def test_per_pass_costs_edge_cases():
+    # zero/junk canaries and junk walls are skipped; a query with no
+    # usable (wall, canary) pair produces no cost at all
+    costs = bench._per_pass_costs(
+        {"q": [1.0], "r": ["x", None]}, [0.1, 0.0, "y"]
+    )
+    assert costs == {"q": 10.0}
+    assert bench._per_pass_costs({}, [0.1]) == {}
+    assert bench._per_pass_costs({"q": [1.0]}, []) == {}
+    # per-pass ratio skips queries absent from either side
+    assert bench._normalized_ratios_per_pass(
+        {"q": [1.0]}, [0.1], {"other": [1.0]}, [0.1]
+    ) == {}
+
+
+def test_await_quiet_host_waits_then_proceeds(monkeypatch):
+    vals = iter([[5.0, 0, 0], [5.0, 0, 0], [0.5, 0, 0]])
+    monkeypatch.setattr(bench, "_loadavg", lambda: next(vals))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench._await_quiet_host(2.0, 60, poll=10)
+    assert out["waited_sec"] == 20
+    assert out["gave_up"] is False
+    assert out["loadavg_after"] == [0.5, 0, 0]
+
+
+def test_await_quiet_host_gives_up_at_max_wait(monkeypatch):
+    monkeypatch.setattr(bench, "_loadavg", lambda: [9.0, 0, 0])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    out = bench._await_quiet_host(2.0, 30, poll=10)
+    assert out["waited_sec"] == 30
+    assert out["gave_up"] is True
+
+
+def test_await_quiet_host_no_loadavg_is_noop(monkeypatch):
+    # off-Linux (no /proc/loadavg) the gate can't see load: no wait
+    monkeypatch.setattr(bench, "_loadavg", lambda: None)
+    out = bench._await_quiet_host(2.0, 30)
+    assert out["waited_sec"] == 0 and out["gave_up"] is False
+
+
 def test_flag_regressions_threshold_and_floor():
     normalized = {"big": 1.5, "small": 3.0, "fine": 1.2, "worse": 1.9}
     cur = {"big": 2.0, "small": 0.05, "fine": 4.0, "worse": 1.0}
