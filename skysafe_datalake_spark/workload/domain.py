@@ -209,12 +209,14 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(load(spark, sf_dir, "events"))
 
 
-@register("skysafe_ml_pipeline")  # no oracle: KMeans is not SQL-expressible
-def skysafe_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full combine+ML stage (M1-M7): nearest-station join → risk →
-    K-Means phase classification (k=3, seed=42) with rules fallback →
-    μ+2σ anomaly flags. Deterministic given the synthetic input, but
-    not expressible as pure SQL → driver records the rows-only check."""
+def skysafe_ml_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full combine+ML output (M1-M7), ALL eight columns including the
+    KMeans-derived flight_phase/flight_phase_id and the μ+2σ
+    is_anomaly/anomaly_score. Pinned by the golden md5 snapshot
+    (tests/test_domain_pipeline.py::test_ml_pipeline_golden_snapshot_sf001)
+    — the ML columns are not SQL-expressible, so the snapshot is their
+    verification; the registered gate query below projects the
+    relational subset the DuckDB oracle CAN re-derive."""
     from skysafe_datalake_spark.plans.combine import combine_enrich
 
     flights = synthetic_flights(load(spark, sf_dir, "events")).select(
@@ -230,13 +232,59 @@ def skysafe_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched, _info = combine_enrich(flights, weather)
     return enriched.select(
         "icao24",
-        F.round("dist_km", 4).alias("dist_km"),
+        pround(F.col("dist_km"), 4).alias("dist_km"),
         "risk_score",
         "risk_category",
         "flight_phase",
         "flight_phase_id",
         "is_anomaly",
         "anomaly_score",
+    )
+
+
+_ML_RELATIONAL_SQL = f"""
+WITH flights AS ({SYNTHETIC_FLIGHTS_SQL}),
+{STATIONS_CTE},
+joined AS (
+  SELECT f.*, s.*, {HAVERSINE_SQL} AS dist_raw
+  FROM flights f CROSS JOIN stations s
+),
+nearest AS (
+  SELECT * FROM joined
+  QUALIFY row_number() OVER (
+    PARTITION BY flight_id ORDER BY dist_raw, s_lat, s_lon) = 1
+),
+scored AS (
+  SELECT CAST(flight_id AS VARCHAR) AS icao24,
+         {pround_sql("dist_raw", 4)} AS dist_km,
+         {_RISK_SQL_TERMS} AS risk_score
+  FROM nearest
+)
+SELECT icao24, dist_km, risk_score,
+       CASE WHEN risk_score >= 60 THEN 'HIGH'
+            WHEN risk_score >= 30 THEN 'MEDIUM'
+            ELSE 'LOW' END AS risk_category
+FROM scored
+"""
+
+
+@register("skysafe_ml_pipeline", _ML_RELATIONAL_SQL)
+def skysafe_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full combine+ML stage (M1-M7): nearest-station join → risk →
+    K-Means phase classification (k=3, seed=42) with rules fallback →
+    μ+2σ anomaly flags. The WHOLE pipeline executes (the KMeans fit,
+    centroid gate, label stats, and anomaly threshold all run eagerly
+    during plan construction); the returned frame projects the
+    relational columns (icao24, dist_km, risk_score, risk_category —
+    reference ``src/combine_spark.py:104-173`` semantics) so the
+    driver's DuckDB oracle hash-verifies them instead of recording the
+    former blanket rows-only check (VERDICT r9 #4). The four
+    ML-derived columns stay pinned by the golden md5 over
+    :func:`skysafe_ml_full`, and closed-form twins drive the KMeans
+    branch (``ml_kmeans_strata``) and rules branch
+    (``ml_rules_fallback``) against full oracles."""
+    return skysafe_ml_full(spark, sf_dir).select(
+        "icao24", "dist_km", "risk_score", "risk_category"
     )
 
 
