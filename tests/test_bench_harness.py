@@ -307,6 +307,23 @@ def test_per_pass_costs_edge_cases():
     ) == {}
 
 
+def test_innocence_envelope_bounds_quiet_host_overcorrection():
+    """The canary is pure CPU; a query's fixed overhead (scheduling,
+    state-store commits) does not shrink on a quieter host, so under
+    host-speed ratio R < 1 an unchanged query can innocently
+    normalize up to 1/R. Live case: a 0.525x host flagged 17
+    zero-code-change queries at 1.26-1.43x — all inside the 1.9x
+    envelope, none a regression."""
+    assert bench._innocence_envelope(0.525) == pytest.approx(1 / 0.525)
+    # equal-speed or loaded current host: fixed overhead can only
+    # flatter the ratio, every above-bar flag is attributable
+    assert bench._innocence_envelope(1.0) == 1.0
+    assert bench._innocence_envelope(1.6) == 1.0
+    # no prior canary: no correction to over-apply
+    assert bench._innocence_envelope(None) == 1.0
+    assert bench._innocence_envelope(0) == 1.0
+
+
 def test_await_quiet_host_waits_then_proceeds(monkeypatch):
     vals = iter([[5.0, 0, 0], [5.0, 0, 0], [0.5, 0, 0]])
     monkeypatch.setattr(bench, "_loadavg", lambda: next(vals))
