@@ -25,6 +25,30 @@ from pyspark.sql import functions as F
 LAYERS = ("raw", "formatted", "enriched", "usage")
 
 
+def _hadoop_ls(spark: SparkSession, path: str):
+    """Directory listing as (basename, is_dir, bytes) triples via the
+    Hadoop FileSystem API — the same client Spark's own reader uses,
+    so it sees every URI scheme the session can read (file://, s3a://,
+    hdfs://, ...). This is the Spark-side twin of the reference's S3
+    ListObjectsV2 discovery (``src/helpers.py:90-154``): partition
+    discovery stays listing-only, no data files opened, on a real
+    object-store lake. Returns [] for a missing path and None when the
+    listing itself fails (unsupported scheme, gateway down) so callers
+    can fall back."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [
+            (st.getPath().getName(), st.isDirectory(), int(st.getLen()))
+            for st in fs.listStatus(jpath)
+        ]
+    except Exception:  # py4j Py4JJavaError / gateway errors
+        return None
+
+
 class LakeCatalog:
     def __init__(self, root: str):
         self.root = root.rstrip("/")
@@ -89,12 +113,40 @@ class LakeCatalog:
             reader = reader.schema(schema)
         return reader.load(self.path(layer, source, entity))
 
+    def _ls(self, path: str, spark: SparkSession | None = None):
+        """(basename, is_dir, bytes) triples for one directory. Plain
+        local roots use os.listdir (no JVM hop); URI-schemed roots go
+        through the Hadoop FileSystem client when a session is at hand.
+        [] = missing/empty dir; None = can't list this root at all
+        (URI root without a session, or the Hadoop listing failed)."""
+        if "://" in self.root:
+            return _hadoop_ls(spark, path) if spark is not None else None
+        import os as _os
+
+        try:
+            out = []
+            for name in _os.listdir(path):
+                full = _os.path.join(path, name)
+                if _os.path.isdir(full):
+                    out.append((name, True, 0))
+                else:
+                    out.append((name, False, _os.path.getsize(full)))
+            return out
+        except FileNotFoundError:
+            return []
+
     def _latest_partition(
-        self, layer: str, source: str, entity: str
+        self,
+        layer: str,
+        source: str,
+        entity: str,
+        spark: SparkSession | None = None,
     ) -> tuple[str, str] | None:
         """Newest (date, hour) partition from the DIRECTORY listing —
-        the same discovery compact() uses. The former
-        select(date,hour).distinct() was a full data scan
+        the same discovery compact() uses, via the Hadoop FileSystem
+        client on URI-schemed lake roots (the Spark-side twin of the
+        reference's S3 ListObjectsV2 walk, ``src/helpers.py:90-154``).
+        The former select(date,hour).distinct() was a full data scan
         (metadata-only optimization is off by default), so finding
         the latest raw-JSON partition re-parsed every file ever
         written, O(history) per minute-cadence run. Hours compare
@@ -105,38 +157,32 @@ class LakeCatalog:
         in-flight write leaves an empty dir — selecting it would
         return zero rows while older populated partitions exist).
 
-        Returns None when the root can't be LISTED locally — a
-        URI-schemed lake root (file://, s3a://, ...) Spark's writer
-        accepts but os.listdir can't see, or a missing local dir.
-        read_latest then falls back to Spark-side discovery instead
-        of silently skipping the filter."""
-        import os as _os
-
+        Returns None when the root can't be LISTED at all (a URI root
+        with no session to reach it, or the Hadoop listing failed);
+        read_latest then falls back to Spark-side distinct() discovery
+        instead of silently skipping the filter."""
         root = self.path(layer, source, entity)
-        if "://" in root:
-            return None  # only Spark can list this filesystem
-        try:
-            dates = sorted(
-                d for d in _os.listdir(root) if d.startswith("date=")
-            )
-        except FileNotFoundError:
+        entries = self._ls(root, spark)
+        if entries is None:
             return None
+        dates = sorted(
+            n for n, is_dir, _sz in entries if is_dir and n.startswith("date=")
+        )
         for date_dir in reversed(dates):  # ISO dates: lexicographic = chrono
             hours = []
-            for h in _os.listdir(_os.path.join(root, date_dir)):
-                if not h.startswith("hour="):
+            for h, is_dir, _sz in self._ls(f"{root}/{date_dir}", spark) or []:
+                if not (is_dir and h.startswith("hour=")):
                     continue
                 try:
                     hour_num = int(h.split("=", 1)[1])
                 except ValueError:
                     continue
-                full = _os.path.join(root, date_dir, h)
-                has_data = any(
-                    not f.startswith((".", "_"))
-                    for f in _os.listdir(full)
-                    if _os.path.isfile(_os.path.join(full, f))
-                )
-                if has_data:
+                files = self._ls(f"{root}/{date_dir}/{h}", spark) or []
+                if any(
+                    not n.startswith((".", "_"))
+                    for n, d, _s in files
+                    if not d
+                ):
                     hours.append((hour_num, h))
             if hours:
                 best = max(hours)[1]
@@ -156,9 +202,9 @@ class LakeCatalog:
     ) -> DataFrame:
         """Latest date/hour partition only (reference S7,
         ``src/helpers.py:126-154``). Discovery is a directory listing
-        (no data read); the literal equality predicates then prune
-        the scan to that one directory. When the root can't be listed
-        locally (URI-schemed lake roots: file://, s3a://, ...), falls
+        (no data read) on any filesystem the session can reach —
+        os.listdir locally, the Hadoop FileSystem client on URI roots
+        (file://, s3a://, hdfs://). If the listing itself fails, falls
         back to a Spark-side distinct() over the partition columns —
         a partition-values scan instead of a listing, but correct on
         any filesystem Spark can read (returning ALL partitions would
@@ -166,7 +212,7 @@ class LakeCatalog:
         df = self.read(
             spark, layer, source, entity, fmt=fmt, options=options, schema=schema
         )
-        latest = self._latest_partition(layer, source, entity)
+        latest = self._latest_partition(layer, source, entity, spark)
         if latest is None and {"date", "hour"} <= set(df.columns):
             row = (
                 df.select("date", "hour")
@@ -213,25 +259,34 @@ class LakeCatalog:
         atomically via dynamic partition overwrite — untouched
         partitions are never rewritten (same mechanism as the upsert
         sink). Returns {partition: (files_before, files_after)} for
-        the partitions actually rewritten.
+        the partitions actually rewritten. Discovery shares ``_ls``
+        with read_latest, so it works on URI-schemed lake roots
+        (file://, s3a://, hdfs://) through the Hadoop FileSystem
+        client.
         """
-        import os as _os
-
         root = self.path(layer, source, entity)
+        entries = self._ls(root, spark)
+        if entries is None:
+            raise FileNotFoundError(
+                f"cannot list lake root {root!r} for compaction"
+            )
         plan: dict[str, tuple[str, str, int, int]] = {}
-        for date_dir in sorted(_os.listdir(root)):
-            if not date_dir.startswith("date="):
+        for date_dir, d_is_dir, _dsz in sorted(entries):
+            if not (d_is_dir and date_dir.startswith("date=")):
                 continue
-            for hour_dir in sorted(_os.listdir(_os.path.join(root, date_dir))):
-                if not hour_dir.startswith("hour="):
+            hour_entries = self._ls(f"{root}/{date_dir}", spark) or []
+            for hour_dir, h_is_dir, _hsz in sorted(hour_entries):
+                if not (h_is_dir and hour_dir.startswith("hour=")):
                     continue
-                full = _os.path.join(root, date_dir, hour_dir)
-                files = [
-                    f for f in _os.listdir(full) if f.endswith(".parquet")
-                ]
-                nbytes = sum(
-                    _os.path.getsize(_os.path.join(full, f)) for f in files
+                listing = (
+                    self._ls(f"{root}/{date_dir}/{hour_dir}", spark) or []
                 )
+                files = [
+                    (n, sz)
+                    for n, is_dir, sz in listing
+                    if not is_dir and n.endswith(".parquet")
+                ]
+                nbytes = sum(sz for _n, sz in files)
                 want = max(1, -(-nbytes // target_bytes))
                 if len(files) >= min_files and len(files) > want:
                     key = f"{date_dir}/{hour_dir}"
