@@ -130,6 +130,52 @@ def _write_json(path, obj):
     path.write_text(json.dumps(obj))
 
 
+def test_prev_round_data_prefers_full_registry_record(tmp_path):
+    # A --all sweep's durable BENCH_FULL copy (widest per-query map)
+    # outranks the BENCH_DETAIL the driver's round-end headline run
+    # overwrites — that overwrite is how the r9 full-registry record
+    # vanished from the tree tip.
+    _write_json(
+        tmp_path / "BENCH_FULL_r06.json",
+        {"noise": {"canary_sec": [0.061]}, "all": True},
+    )
+    _write_json(
+        tmp_path / "BENCH_DETAIL_r06.json",
+        {"noise": {"canary_sec": [0.09]}, "all": False},
+    )
+    data, rnd, fname = bench._prev_round_data(str(tmp_path), 7)
+    assert (rnd, fname) == (6, "BENCH_FULL_r06.json")
+    assert data["all"] is True
+
+
+def test_prev_round_data_prefers_same_run_shape(tmp_path):
+    # A query timed inside a 183-query pass carries ~12% more
+    # JVM/cache pollution than inside a 62-query headline pass
+    # (measured: r9 headline-62 total 74.5s within the full sweep vs
+    # 67.2s headline-only; the first full-vs-headline normalization
+    # flagged 15 zero-code-change queries at median 1.119 on a
+    # comparable-speed host). Cross-shape ratios read sweep shape,
+    # not engine cost — so a --all run compares against the prior
+    # FULL record and a headline run against the prior headline one.
+    _write_json(
+        tmp_path / "BENCH_FULL_r09.json",
+        {"noise": {"canary_sec": [0.109]}, "all": True},
+    )
+    _write_json(
+        tmp_path / "BENCH_DETAIL_r09.json",
+        {"noise": {"canary_sec": [0.099]}, "all": False},
+    )
+    _, _, full_pick = bench._prev_round_data(str(tmp_path), 10, run_all=True)
+    _, _, head_pick = bench._prev_round_data(str(tmp_path), 10, run_all=False)
+    assert full_pick == "BENCH_FULL_r09.json"
+    assert head_pick == "BENCH_DETAIL_r09.json"
+    # No same-shape record for the round: fall back to what exists
+    # (qualified by canary arithmetic) instead of skipping the round.
+    (tmp_path / "BENCH_FULL_r09.json").unlink()
+    _, _, fb_pick = bench._prev_round_data(str(tmp_path), 10, run_all=True)
+    assert fb_pick == "BENCH_DETAIL_r09.json"
+
+
 def test_prev_canary_min_walks_back_and_prefers_detail(tmp_path):
     # r5 predates noise telemetry (no noise object); r6 has both a
     # detail file and the driver's stdout capture — the detail file
@@ -158,7 +204,7 @@ def test_prev_canary_min_none_without_telemetry(tmp_path):
     assert bench._prev_canary_min(str(tmp_path), 6) == (None, None, None)
 
 
-def test_canary_comparison_flags_noisy_host(tmp_path):
+def test_canary_comparison_flags_host_speed_mismatch(tmp_path):
     _write_json(
         tmp_path / "BENCH_DETAIL_r06.json", {"noise": {"canary_sec": [0.06]}}
     )
@@ -170,7 +216,10 @@ def test_canary_comparison_flags_noisy_host(tmp_path):
         "min": 0.06,
     }
     assert out["canary_ratio_vs_prev"] == pytest.approx(2.483)
-    assert out["noisy_host"] is True
+    assert out["host_speed_mismatch"] is True
+    # ...but the run ITSELF was steady (spread 1.013): a loaded-vs-
+    # last-round host is a comparability problem, not a noisy run.
+    assert out["noisy_host"] is False
 
 
 def test_canary_comparison_comparable_host(tmp_path):
@@ -179,6 +228,7 @@ def test_canary_comparison_comparable_host(tmp_path):
     )
     out = bench._canary_comparison([0.065], str(tmp_path), 7)
     assert out["canary_ratio_vs_prev"] == pytest.approx(1.083)
+    assert out["host_speed_mismatch"] is False
     assert out["noisy_host"] is False
 
 
@@ -187,6 +237,7 @@ def test_canary_comparison_without_prior_round(tmp_path):
     assert out == {
         "canary_min": 0.1,
         "canary_spread": 1.0,
+        "noisy_host": False,
         "prev_canary": None,
     }
 
@@ -195,22 +246,30 @@ def test_canary_spread_marks_intra_run_load_swing(tmp_path):
     # Observed live: canaries [0.12, 0.06, 0.113] while loadavg rose
     # 2.3 -> 5.0 — the min divisor and a query's min sample came from
     # differently-loaded passes and 17 spurious regressions were
-    # flagged. The spread records that instability in the artifact.
+    # flagged. The spread records that instability in the artifact,
+    # and (round 10) IS the noisy_host signal: this run's own samples
+    # disagree about the host they measured.
     out = bench._canary_comparison([0.12, 0.06, 0.113], str(tmp_path), 1)
     assert out["canary_spread"] == 2.0  # 0.12 / 0.06
     assert out["canary_min"] == 0.06
+    assert out["noisy_host"] is True
 
 
 def test_canary_comparison_flags_quieter_host_too(tmp_path):
     # The r8 failure direction: a 0.694x QUIETER host flatters every
     # raw delta by ~30% — just as misleading as a loaded one. The flag
-    # is two-sided.
+    # is two-sided. It is NOT noisy_host (round 10): a quiet run after
+    # a loaded round — r10's exact situation, r9's committed canary
+    # min 0.099 came from a 1.5x-loaded host — would otherwise be
+    # branded noisy for last round's sins, with no way to EVER record
+    # the clean anchor the cross-round story needs.
     _write_json(
         tmp_path / "BENCH_DETAIL_r06.json", {"noise": {"canary_sec": [0.098]}}
     )
     out = bench._canary_comparison([0.068], str(tmp_path), 7)
     assert out["canary_ratio_vs_prev"] == pytest.approx(0.694)
-    assert out["noisy_host"] is True
+    assert out["host_speed_mismatch"] is True
+    assert out["noisy_host"] is False
 
 
 def test_noisy_host_threshold_matches_regression_bar():
@@ -305,6 +364,174 @@ def test_per_pass_costs_edge_cases():
     assert bench._normalized_ratios_per_pass(
         {"q": [1.0]}, [0.1], {"other": [1.0]}, [0.1]
     ) == {}
+
+
+def test_wall_corroborated_load_ignores_canary_spike():
+    """Observed live (r10): canaries [0.112, 0.105, 0.306] while every
+    query's wall profile stayed flat — the 0.306 was a transient at
+    the canary instant, not pass load, and raw per-pass quotients
+    read every pass-3 cost ~3x low (sweep normalized median 0.376 on
+    unchanged code). With a wide sample matrix the load factor comes
+    from the walls (all ~1.0 here) and the host speed is the MEDIAN
+    canary-per-load — the spike lands in the tail and the costs are
+    plain walls over the median canary."""
+    samples = {f"q{i}": [1.0 + i, 1.01 + i, 1.0 + i] for i in range(10)}
+    canaries = [0.112, 0.105, 0.306]
+    load = bench._pass_load_factors(samples)
+    assert load is not None
+    assert all(abs(x - 1.0) < 0.02 for x in load)
+    costs = bench._per_pass_costs(samples, canaries)
+    # host = median(0.112, 0.105, 0.306) = 0.112; q0 cost = 1.0/0.112
+    assert costs["q0"] == pytest.approx(1.0 / 0.112, rel=1e-6)
+    # Same run re-recorded with a clean canary normalizes to ~1.0
+    clean = bench._normalized_ratios_per_pass(
+        samples, [0.112, 0.105, 0.112], samples, canaries
+    )
+    assert all(abs(r - 1.0) < 0.01 for r in clean.values())
+
+
+def test_wall_corroborated_load_normalizes_whole_pass_swing():
+    # Pass 1 genuinely loaded 2x: every wall doubles, the canary
+    # doubles too. The wall-derived load factor is 2.0 for that pass,
+    # costs come out identical to an all-quiet run of the same engine.
+    quiet = {f"q{i}": [1.0 + i, 1.0 + i, 1.0 + i] for i in range(10)}
+    loaded = {f"q{i}": [2.0 * (1.0 + i), 1.0 + i, 1.0 + i] for i in range(10)}
+    load = bench._pass_load_factors(loaded)
+    assert load == [2.0, 1.0, 1.0]
+    ratios = bench._normalized_ratios_per_pass(
+        loaded, [0.2, 0.1, 0.1], quiet, [0.1, 0.1, 0.1]
+    )
+    assert all(abs(r - 1.0) < 0.01 for r in ratios.values())
+    # ...and a true 2x regression under the same swing still reads 2.0
+    regressed = {
+        f"q{i}": [4.0 * (1.0 + i), 2.0 * (1.0 + i), 2.0 * (1.0 + i)]
+        for i in range(10)
+    }
+    ratios = bench._normalized_ratios_per_pass(
+        regressed, [0.2, 0.1, 0.1], quiet, [0.1, 0.1, 0.1]
+    )
+    assert all(abs(r - 2.0) < 0.01 for r in ratios.values())
+
+
+def test_codegen_pass_is_not_load():
+    """Pass 1 deliberately carries each query's first-run codegen
+    (bootstrap warm-up primes shared machinery only) — live records
+    read L_1 ~= 1.7 on QUIET hosts. That inflation is per-query
+    heterogeneous, so the cost min runs over the steady passes and
+    the run-quality spread ignores L_1: a default run must not brand
+    itself noisy for its own warm-up design."""
+    samples = {
+        f"q{i}": [1.7 * (1.0 + i), 1.0 + i, 1.0 + i] for i in range(10)
+    }
+    load = bench._pass_load_factors(samples)
+    assert load == pytest.approx([1.7, 1.0, 1.0])
+    # steady spread = 1.0 — despite the 1.7 first-pass factor
+    steady = load[1:]
+    assert max(steady) / min(steady) == pytest.approx(1.0)
+    costs = bench._per_pass_costs(samples, [0.1, 0.1, 0.1])
+    # host = median(0.1/1.7, 0.1, 0.1) = 0.1; cost(q0) = 1.0/0.1
+    assert costs["q0"] == pytest.approx(10.0)
+    # a query whose codegen was NEGLIGIBLE (pass-1 wall == steady
+    # wall) must not have its pass-1 wall discounted by the matrix's
+    # codegen factor into a phantom 1.7x-cheap cost
+    samples["flat"] = [2.0, 2.0, 2.0]
+    costs = bench._per_pass_costs(samples, [0.1, 0.1, 0.1])
+    assert costs["flat"] == pytest.approx(20.0)
+
+
+def test_pass_load_factors_need_a_wide_matrix():
+    # A single query's pass-to-pass ratios are its OWN noise, not the
+    # host's — thin matrices fall back to raw canary quotients (the
+    # r9-era arithmetic the swing-load fixtures below pin).
+    assert bench._pass_load_factors({"q": [1.0, 2.0, 1.0]}) is None
+    costs = bench._per_pass_costs({"q": [1.0, 2.0]}, [0.1, 0.2])
+    assert costs == {"q": 10.0}
+
+
+def test_uniform_shift_detects_host_level_change():
+    """Observed live: external contention arriving mid-sweep (loadavg
+    0.4 -> 6.7) inflated every wall ~25-35% while the pure-CPU canary
+    read FAST — 110 spurious per-query 'regressions' at median 1.35.
+    183 unrelated queries do not all regress together: a shifted
+    median IS a host-level confound, and per-query flags are then
+    unattributable."""
+    shifted = {f"q{i}": 1.35 + (i % 5) * 0.02 for i in range(30)}
+    assert bench._uniform_shift(shifted) is not None
+    # A healthy distribution (bulk at 1.0, a few real regressions)
+    # must NOT trip the guard — that's the attribution-friendly shape.
+    healthy = {f"q{i}": 1.0 for i in range(25)}
+    healthy.update({f"r{i}": 2.0 for i in range(5)})
+    assert bench._uniform_shift(healthy) is None
+    # Too few queries: a median of a handful is not evidence of a
+    # host-level shift (headline subsets can be legitimately skewed).
+    assert bench._uniform_shift({f"q{i}": 1.4 for i in range(5)}) is None
+    # A uniformly FASTER host (flattering direction) is just as
+    # unattributable per-query.
+    faster = {f"q{i}": 0.7 for i in range(30)}
+    assert bench._uniform_shift(faster) == 0.7
+
+
+def test_confirm_flags_washes_out_jitter_keeps_real_regressions():
+    """Two same-code same-data back-to-back full sweeps produced
+    DISJOINT >1.25x flag sets (r10: 27 vs 17 flags) — a main-pass
+    flag is a hypothesis. Query "jit" flagged only because all three
+    main passes were unlucky (stall / loaded pass); its confirmation
+    samples land back at the prior round's cost, so the flag washes
+    out. Query "reg" reproduces 2x in the confirmation passes — a
+    real regression survives. Canaries steady at 0.1 throughout so
+    the arithmetic is bare."""
+    prev_samples = {"jit": [1.0, 1.0, 1.0], "reg": [1.0, 1.0, 1.0]}
+    prev_canaries = [0.1, 0.1, 0.1]
+    samples = {"jit": [2.0, 1.9, 2.1], "reg": [2.0, 2.0, 2.0]}
+    canaries = [0.1, 0.1, 0.1]
+    flagged = {"jit": 1.9, "reg": 2.0}
+    confirmed, washed = bench._confirm_flags(
+        flagged,
+        samples,
+        canaries,
+        {"jit": [1.0, 1.05, 1.0], "reg": [2.0, 2.1, 2.0]},
+        [0.1, 0.1, 0.1],
+        prev_samples,
+        prev_canaries,
+        envelope=1.0,
+    )
+    assert washed == {"jit": 1.0}
+    assert confirmed == {"reg": 2.0}
+
+
+def test_confirm_flags_keeps_flags_it_cannot_recheck():
+    # No prev samples for the query: nothing to recompute against —
+    # the original flag stands rather than silently vanishing.
+    confirmed, washed = bench._confirm_flags(
+        {"q": 1.5},
+        {"q": [1.5]},
+        [0.1],
+        {"q": [1.5]},
+        [0.1],
+        {},
+        [0.1],
+        envelope=1.0,
+    )
+    assert confirmed == {"q": 1.5}
+    assert washed == {}
+
+
+def test_confirm_flags_respects_envelope():
+    # Confirmation ratio lands above the 1.25 bar but inside the
+    # fixed-overhead envelope of a host-speed mismatch: not
+    # attributable, washes out.
+    confirmed, washed = bench._confirm_flags(
+        {"q": 1.6},
+        {"q": [1.4, 1.4]},
+        [0.1, 0.1],
+        {"q": [1.4]},
+        [0.1],
+        {"q": [1.0, 1.0]},
+        [0.1, 0.1],
+        envelope=1.5,
+    )
+    assert confirmed == {}
+    assert washed == {"q": 1.4}
 
 
 def test_innocence_envelope_bounds_quiet_host_overcorrection():
