@@ -989,7 +989,10 @@ def main() -> None:
     # queries, minutes after their main-pass samples, and keep the
     # flag only if the combined evidence still clears the bar. Cost
     # is bounded: flagged queries are usually the sub-second tail,
-    # and the set is capped at the 20 worst.
+    # and the set is capped worst-first (a live sweep that checked
+    # only its 20 worst washed ALL 20 out and shipped 10 unchecked
+    # cap-overflow flags — the cap must comfortably exceed a noisy
+    # run's flag count, not just cover its worst slice).
     # Uniform-shift guard: when the MEDIAN normalized ratio moved
     # off 1.0 across the whole compared set, the host changed, not
     # 100+ unrelated queries at once — per-query flags (and same-host
@@ -1012,9 +1015,10 @@ def main() -> None:
             file=sys.stderr,
         )
     confirm_passes = int(os.environ.get("SPARK_GRAFT_CONFIRM_PASSES", "3"))
+    confirm_cap = int(os.environ.get("SPARK_GRAFT_CONFIRM_CAP", "40"))
     if regressions and per_pass and confirm_passes > 0:
         to_check = dict(
-            sorted(regressions.items(), key=lambda kv: -kv[1])[:20]
+            sorted(regressions.items(), key=lambda kv: -kv[1])[:confirm_cap]
         )
         print(
             f"# confirming {len(to_check)} regression flags with "
