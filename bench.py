@@ -1193,7 +1193,22 @@ def main() -> None:
                 # canary = fixed-cost pure-CPU probe per pass (see
                 # module docstring): compare canary across rounds
                 # before reading per-query deltas as regressions.
-                "noise": noise,
+                # Confirmation per-query samples stay in the detail
+                # file: up to 40 flagged queries x passes would grow
+                # this line ~1.5 kB toward the driver's tail-capture
+                # limit (the round-3 failure mode).
+                "noise": (
+                    {
+                        **noise,
+                        "regression_confirm": {
+                            k: v
+                            for k, v in noise["regression_confirm"].items()
+                            if k != "samples"
+                        },
+                    }
+                    if isinstance(noise.get("regression_confirm"), dict)
+                    else noise
+                ),
                 "detail_file": os.path.basename(detail_path),
             },
             separators=(",", ":"),
