@@ -133,9 +133,34 @@ dedicated confirmation passes (`SPARK_GRAFT_CONFIRM_PASSES`, default
 the bar and envelope; `noise.regression_confirm` records the passes
 and the washed-out set.
 
+Round 11 makes flag confidence inherit ANCHOR quality (r10 shipped 4
+flags "confirmed" against a noisy_host:true r9 record, none of which
+had any code change): when the previous record's own run was noisy,
+above-bar flags are demoted to `normalized_suspects` and
+confirmation is skipped — the anchor side of the ratio is the
+unreliable half and re-timing the current side cannot repair it
+(`noise.anchor_noisy` records the inheritance). Three more evidence-
+grade fixes land with it: (1) confirmation passes now re-time ~8
+unflagged CONTROL queries alongside the flagged set so the combined
+matrix's confirmation columns carry enough independent walls for
+wall-derived load factors (a loaded confirmation window over a small
+flag set otherwise reads its own inflation as ~1x load and falsely
+confirms jitter); (2) cap-overflow flags that no confirmation pass
+examined land under `noise.regression_confirm.unchecked` instead of
+being merged into `normalized_regressions` as if they were evidence;
+(3) a uniform shift the PREVIOUS record demoted is adjudicated
+retrospectively (`noise.prev_shift_adjudication`): this run's median
+vs that record reads ~1 if the shift was a genuine engine-wide
+change that reproduced (reported as `noise.engine_wide_regression` —
+previously such a regression would be demoted every round forever)
+and ~1/shift if it was host inflation unwinding.
+
 The detail file also carries `e2e_stage_sec` — per-stage wall
 seconds inside the composite `batch_pipeline_e2e` row, so a
-regression there is attributable to a DAG stage.
+regression there is attributable to a DAG stage. Since round 11 the
+stages come from the pass that produced the recorded MIN wall (the
+last pass shipped a loaded 21.6 s `combine` attribution against the
+clean r10 record's own 15.9 s min).
 """
 
 from __future__ import annotations
@@ -377,7 +402,19 @@ def _prev_round_data(repo_root: str, rnd: int, run_all: bool | None = None):
     BENCH_r{N}.json stdout capture; when no same-shape record exists
     for a round, fall back to any record with telemetry rather than
     skipping the round (a biased-but-qualified comparison beats
-    none)."""
+    none).
+
+    One trap in the shape preference: the shape-matched winner can be
+    a SAMPLE-LESS stdout capture (e.g. a headline run following a
+    round whose only surviving per-pass record is an --all sweep),
+    which silently downgrades normalization to the run_min fallback
+    the module docstring documents as unsound under intra-run load
+    swings — even though a per-pass-capable record of the other shape
+    exists. The shape match still wins (the ~12% shape bias is
+    uniform and sits uncomfortably close to the 15% uniform-shift
+    bar), but the downgrade is LOGGED and recorded on the returned
+    data under ``_selection`` so the caller surfaces it in the noise
+    block — the weaker estimator must not be chosen invisibly."""
     for prev in range(rnd - 1, 0, -1):
         candidates = []
         for fname in (
@@ -398,14 +435,35 @@ def _prev_round_data(repo_root: str, rnd: int, run_all: bool | None = None):
                 continue
             candidates.append((data, prev, fname))
         if candidates:
+            pick = candidates[0]
             if run_all is not None:
                 same = [
                     c for c in candidates
                     if bool(c[0].get("all")) == run_all
                 ]
                 if same:
-                    return same[0]
-            return candidates[0]
+                    pick = same[0]
+            if not pick[0].get("samples"):
+                with_samples = [
+                    c for c in candidates if c[0].get("samples")
+                ]
+                if with_samples:
+                    pick[0]["_selection"] = {
+                        "method_downgrade": "run_min",
+                        "per_pass_alternative": with_samples[0][2],
+                        "reason": (
+                            "shape-matched record has no per-pass samples"
+                        ),
+                    }
+                    print(
+                        f"# prev-round pick {pick[2]} matches this run's "
+                        "shape but carries no per-pass samples — "
+                        "normalization degrades to run_min even though "
+                        f"{with_samples[0][2]} (other shape, ~12% shape "
+                        "bias) has per-pass records",
+                        file=sys.stderr,
+                    )
+            return pick
     return None, None, None
 
 
@@ -652,19 +710,171 @@ _UNIFORM_SHIFT_BAR = 0.15
 _UNIFORM_SHIFT_MIN_QUERIES = 20
 
 
+def _median(vals) -> float | None:
+    vals = sorted(vals)
+    if not vals:
+        return None
+    mid = len(vals) // 2
+    return vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+
+
 def _uniform_shift(normalized: dict[str, float]) -> float | None:
     """Median normalized ratio when it reveals a host-level shift the
     canary missed (|median - 1| > bar over a wide-enough set), else
     None. Per-query attribution REQUIRES the bulk of the set near 1.0
     — when the whole distribution moved, individual above-bar flags
     are unattributable (and re-measuring on the same degraded host
-    cannot attribute them either, so confirmation is skipped too)."""
+    cannot attribute them either, so confirmation is skipped too).
+
+    A demoted shift is NOT forgotten: a genuine engine-wide
+    regression (shared codegen/scan machinery slowing every query)
+    would trip this guard every round and never reach
+    `normalized_regressions`, so the NEXT round's run adjudicates it
+    retrospectively via _adjudicate_prev_shift — the shift either
+    persists into the new anchor (engine-wide: report it) or
+    evaporates (host artifact: close it)."""
     if len(normalized) < _UNIFORM_SHIFT_MIN_QUERIES:
         return None
-    vals = sorted(normalized.values())
-    mid = len(vals) // 2
-    med = vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+    med = _median(normalized.values())
     return round(med, 3) if abs(med - 1.0) > _UNIFORM_SHIFT_BAR else None
+
+
+# Tolerance for reading the next round's median as "the shift stuck"
+# (engine-wide) vs "the shift evaporated" (host artifact).
+_SHIFT_ADJUDICATION_TOL = 0.10
+
+
+def _adjudicate_prev_shift(
+    prev_noise: dict | None, cur_median: float | None
+) -> dict | None:
+    """Retrospective verdict on a uniform_shift the PREVIOUS round's
+    record demoted wholesale. The uniform-shift guard cannot tell
+    host degradation from a genuine engine-wide regression within one
+    run — both shift every query — but the two diverge one round
+    later, and this run vs that record is exactly the re-run that
+    distinguishes them. Let U be the prev record's demoted shift and
+    M this run's median normalized ratio vs that record:
+
+    - M ~= 1: the shifted level REPRODUCED — this run, on its own
+      host, lands where the shifted record did. The prev shift was an
+      engine-wide change that is now baked into the anchor; report it
+      as `engine_wide_regression` instead of letting it vanish into
+      noise telemetry (the silent-demotion hole: a real engine-wide
+      slowdown reproduces against a pre-regression anchor every run
+      and would otherwise NEVER appear in normalized_regressions).
+    - M ~= 1/U: the shift EVAPORATED — the prev record's walls were
+      inflated by host conditions this run doesn't share, and the
+      inverse shift is the inflation unwinding. Host artifact;
+      closed.
+    - anything else: ambiguous (e.g. this run is itself shifted) —
+      carried for the next clean run to settle.
+
+    Returns the adjudication dict, or None when the prev record
+    carries no uniform_shift or there's no current median to read."""
+    prev_shift = (prev_noise or {}).get("uniform_shift")
+    try:
+        u = float(prev_shift)
+    except (TypeError, ValueError):
+        return None
+    if cur_median is None or u <= 0:
+        return None
+    out = {
+        "prev_shift": u,
+        "cur_median_vs_prev": round(cur_median, 3),
+    }
+    if abs(cur_median - 1.0) <= _SHIFT_ADJUDICATION_TOL:
+        out["verdict"] = "engine_wide_persisted"
+    elif abs(cur_median - 1.0 / u) <= _SHIFT_ADJUDICATION_TOL:
+        out["verdict"] = "host_artifact_evaporated"
+    else:
+        out["verdict"] = "ambiguous"
+    return out
+
+
+# Upper wall bound for preferred confirmation controls: re-timing
+# e.g. the 16 s composite e2e row 3x just to read host load would
+# dominate the confirmation window's cost for no extra signal.
+_CONTROL_MAX_SEC = 3.0
+
+
+def _confirmation_controls(
+    samples: dict[str, list],
+    flagged: set,
+    n_controls: int = _MIN_QUERIES_FOR_WALL_LOAD,
+) -> list[str]:
+    """UNFLAGGED queries to re-time alongside the flagged set in the
+    confirmation passes, purely to anchor those passes' load factors.
+
+    Without them the combined matrix's confirmation columns carry
+    walls only for the flagged queries — often fewer than
+    _MIN_QUERIES_FOR_WALL_LOAD, the module's own bar for trusting
+    wall-derived load — so the per-pass load factor for those columns
+    is a thin, self-referential median over the very queries being
+    judged: a loaded confirmation window over a mostly-jitter flag
+    set reads its own inflation as ~1x load and falsely 'confirms'
+    jitter flags. Controls are chosen from queries measurable above
+    the jitter floor yet cheap to re-time (min wall in
+    [_REGRESSION_MIN_SEC, _CONTROL_MAX_SEC]), most
+    pass-to-pass-stable first (their ratio-to-own-min in a
+    confirmation column is then almost pure load), cheapest on ties;
+    if too few land in the band, the walls nearest the band fill in.
+    Their samples enter the combined matrix (so _pass_load_factors
+    sees >= n_controls independent walls per confirmation column) but
+    they are never candidates for confirmation verdicts."""
+    in_band = []
+    out_of_band = []
+    for name, walls in samples.items():
+        if name in flagged:
+            continue
+        try:
+            w = [float(x) for x in walls]
+        except (TypeError, ValueError):
+            continue
+        if not w or min(w) <= 0:
+            continue
+        # Steady passes only: pass 1 carries first-run codegen, which
+        # would read as instability in a query that is rock-steady.
+        steady = w[1:] if len(w) >= 3 else w
+        spread = max(steady) / min(steady)
+        lo = min(w)
+        if _REGRESSION_MIN_SEC <= lo <= _CONTROL_MAX_SEC:
+            in_band.append((spread, lo, name))
+        else:
+            dist = (
+                _REGRESSION_MIN_SEC - lo
+                if lo < _REGRESSION_MIN_SEC
+                else lo - _CONTROL_MAX_SEC
+            )
+            out_of_band.append((dist, name))
+    in_band.sort()
+    controls = [name for _, _, name in in_band[:n_controls]]
+    if len(controls) < n_controls:
+        out_of_band.sort()
+        controls += [
+            name for _, name in out_of_band[: n_controls - len(controls)]
+        ]
+    return controls
+
+
+def _min_pass_stage_sec(
+    stage_dicts: list[dict], walls: list[float]
+) -> dict | None:
+    """Stage attribution from the pass that produced the MIN wall —
+    the pass the recorded bench number actually comes from. Taking
+    the last pass's stages instead (the pre-r11 behavior) let a
+    loaded final pass misattribute: the clean r10 full record carried
+    `combine: 21.6 s` (stage sum ~32.7 s) against the same record's
+    15.9 s min wall. Pairs stage dicts positionally with the per-pass
+    walls; empty stage dicts (a pass where capture failed) are never
+    picked."""
+    pairs = [
+        (w, d)
+        for w, d in zip(walls, stage_dicts)
+        if d
+    ]
+    if not pairs:
+        return None
+    return dict(min(pairs, key=lambda p: p[0])[1])
 
 
 def _confirm_flags(
@@ -863,6 +1073,14 @@ def main() -> None:
     loadavgs: list[list[float] | None] = []
     canary_sec: list[float] = []
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # Stage attribution is snapshotted PER PASS so the detail file can
+    # carry the stage split of the pass that produced the min wall —
+    # reading plans.pipeline.LAST_STAGE_SECONDS once at the end takes
+    # whichever pass ran last (module attribute access, not a from-
+    # import: run_batch_pipeline REBINDS the global each run).
+    from skysafe_datalake_spark.plans import pipeline as _pipeline
+
+    e2e_stage_passes: list[dict] = []
     for _pass in range(n_passes):
         loadavgs.append(_loadavg())
         canary_sec.append(_canary(spark))
@@ -871,6 +1089,8 @@ def main() -> None:
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
+            if name == "batch_pipeline_e2e":
+                e2e_stage_passes.append(dict(_pipeline.LAST_STAGE_SECONDS))
     loadavgs.append(_loadavg())
     timings = {n: min(s) for n, s in samples.items()}
     noise = {"loadavg": loadavgs, "canary_sec": canary_sec}
@@ -895,6 +1115,13 @@ def main() -> None:
     # comparison and the per-query normalization.
     prev_lookup = _prev_round_data(repo_root, rnd, run_all)
     noise.update(_canary_comparison(canary_sec, repo_root, rnd, prev_lookup))
+    # A shape-matched prior record without per-pass samples forces the
+    # run_min fallback even though a per-pass record of the other
+    # shape exists — _prev_round_data logged it; persist the downgrade
+    # in the artifact too so the weaker estimator is never invisible.
+    _sel = ((prev_lookup[0] or {}).get("_selection")) or None
+    if _sel:
+        noise["prev_record_selection"] = _sel
     # This run's own quality flag, from the best evidence available:
     # the wall-corroborated per-pass load factors when the sample
     # matrix is wide enough (a canary instant can spike on a transient
@@ -983,6 +1210,64 @@ def main() -> None:
     envelope = _innocence_envelope(noise.get("canary_ratio_vs_prev"))
     regressions = {n: r for n, r in flagged.items() if r > envelope}
     suspects = {n: r for n, r in flagged.items() if r <= envelope}
+    demotion_reason = None
+    prev_noise = (prev_data or {}).get("noise") or {}
+    # Retrospective adjudication of a uniform shift the PREVIOUS
+    # record demoted wholesale: this run IS the re-run that tells an
+    # engine-wide regression (the shifted level reproduces, median vs
+    # that record ~1) from host degradation (the inflation unwinds,
+    # median ~1/shift). Without this, a genuine engine-wide slowdown
+    # reproduces against a pre-regression anchor every round, gets
+    # demoted every time, and never reaches normalized_regressions.
+    cur_median = _median(normalized.values()) if normalized else None
+    adjudication = _adjudicate_prev_shift(prev_noise, cur_median)
+    if adjudication is not None:
+        noise["prev_shift_adjudication"] = adjudication
+        if adjudication["verdict"] == "engine_wide_persisted":
+            noise["engine_wide_regression"] = {
+                "ratio": adjudication["prev_shift"],
+                "demoted_in_round": prev_rnd,
+            }
+            print(
+                f"# ENGINE-WIDE REGRESSION: r{prev_rnd}'s demoted "
+                f"uniform shift x{adjudication['prev_shift']} "
+                "REPRODUCED (this run's median vs that record is "
+                f"{adjudication['cur_median_vs_prev']}) — engine "
+                "cost, not host weather, and it is now baked into "
+                "the anchor; bisect the round that shifted",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"# r{prev_rnd}'s demoted uniform shift "
+                f"x{adjudication['prev_shift']} adjudicated: "
+                f"{adjudication['verdict']} (this run's median vs "
+                f"that record {adjudication['cur_median_vs_prev']})",
+                file=sys.stderr,
+            )
+    # Anchor-quality inheritance (the r10 lesson: 4 flags were
+    # "confirmed" against a noisy_host:true r9 record with zero code
+    # change in any of them). The prev side of every normalized ratio
+    # comes from the anchor's samples, so when the anchor's OWN run
+    # was noisy, an above-bar flag is unattributable — confirmation
+    # re-times only the current side and cannot repair the anchor.
+    # Demote to suspects until a clean re-anchor exists.
+    anchor_noisy = bool(prev_noise.get("noisy_host"))
+    if prev_data is not None:
+        noise["anchor_noisy"] = anchor_noisy
+    if anchor_noisy and regressions:
+        demotion_reason = "noisy_anchor"
+        n_demoted = len(regressions)
+        suspects.update(regressions)
+        regressions = {}
+        print(
+            f"# prev anchor r{prev_rnd} recorded noisy_host: true — "
+            f"demoting {n_demoted} above-bar flags to "
+            "normalized_suspects (the anchor-side costs are the "
+            "unreliable half of the ratio; confirmation skipped — "
+            "re-timing the current side cannot repair the anchor)",
+            file=sys.stderr,
+        )
     # Targeted confirmation: a flag from the main passes is a
     # hypothesis (two same-code back-to-back sweeps produced disjoint
     # flag sets — min-of-3 jitter), so re-time ONLY the flagged
@@ -1002,6 +1287,7 @@ def main() -> None:
     shift = _uniform_shift(normalized)
     if shift is not None:
         noise["uniform_shift"] = shift
+        demotion_reason = "uniform_shift"
         suspects.update(regressions)
         regressions = {}
         print(
@@ -1020,16 +1306,33 @@ def main() -> None:
         to_check = dict(
             sorted(regressions.items(), key=lambda kv: -kv[1])[:confirm_cap]
         )
+        # Flags beyond the cap are hypotheses NO confirmation pass
+        # ever examined — they go to the record's `unchecked` list,
+        # visibly separate from confirmation survivors (the pre-r11
+        # merge shipped 10 such flags inside normalized_regressions,
+        # indistinguishable from evidence).
+        unchecked = {
+            n: r for n, r in regressions.items() if n not in to_check
+        }
+        # Unflagged control queries ride along so the confirmation
+        # columns of the combined matrix carry enough independent
+        # walls for _pass_load_factors — without them a loaded
+        # confirmation window over a small flag set reads its own
+        # inflation as load ~1 and falsely confirms jitter flags.
+        controls = _confirmation_controls(samples, set(to_check))
         print(
             f"# confirming {len(to_check)} regression flags with "
-            f"{confirm_passes} targeted passes...",
+            f"{confirm_passes} targeted passes ({len(controls)} "
+            "unflagged controls anchor the per-pass load factors)...",
             file=sys.stderr,
         )
-        extra: dict[str, list[float]] = {n: [] for n in to_check}
+        extra: dict[str, list[float]] = {
+            n: [] for n in list(to_check) + controls
+        }
         extra_canaries: list[float] = []
         for _ in range(confirm_passes):
             extra_canaries.append(_canary(spark))
-            for name in to_check:
+            for name in extra:
                 t0 = time.perf_counter()
                 QUERIES[name](spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
@@ -1045,16 +1348,13 @@ def main() -> None:
             prev_canaries,
             envelope,
         )
-        # Flags beyond the cap stay unconfirmed hypotheses — keep
-        # them visible rather than silently dropping them.
-        confirmed.update(
-            {n: r for n, r in regressions.items() if n not in to_check}
-        )
         noise["regression_confirm"] = {
             "passes": confirm_passes,
             "canary_sec": extra_canaries,
             "checked": len(to_check),
+            "controls": controls,
             "washed_out": washed,
+            "unchecked": unchecked,
             "samples": extra,
         }
         if washed:
@@ -1062,6 +1362,15 @@ def main() -> None:
                 f"# washed out {len(washed)}/{len(to_check)} flags on "
                 "confirmation (jitter, not engine cost): "
                 + ", ".join(f"{n} x{r}" for n, r in washed.items()),
+                file=sys.stderr,
+            )
+        if unchecked:
+            print(
+                f"# {len(unchecked)} cap-overflow flags stay UNCHECKED "
+                "hypotheses (recorded under "
+                "noise.regression_confirm.unchecked, NOT in "
+                "normalized_regressions): "
+                + ", ".join(f"{n} x{r}" for n, r in unchecked.items()),
                 file=sys.stderr,
             )
         regressions = confirmed
@@ -1092,6 +1401,23 @@ def main() -> None:
                 f"{qualifier}: {worst}",
                 file=sys.stderr,
             )
+        elif demotion_reason is not None:
+            # Don't print the all-clear when flags were demoted
+            # wholesale — the empty regression list is a confidence
+            # statement about the comparison, not about the engine.
+            detail = (
+                f"uniform shift x{noise.get('uniform_shift')} across the "
+                "compared set (host-level confound; an engine-wide "
+                "change would reproduce and be adjudicated next round)"
+                if demotion_reason == "uniform_shift"
+                else f"prev anchor r{prev_rnd} was noisy_host: true"
+            )
+            print(
+                f"# regression verdict withheld vs r{prev_rnd}: "
+                f"{detail} — above-bar flags sit in "
+                "normalized_suspects until a clean re-anchor",
+                file=sys.stderr,
+            )
         else:
             print(
                 f"# no normalized per-query regressions vs r{prev_rnd} "
@@ -1116,13 +1442,15 @@ def main() -> None:
             )
 
     # Stage-level attribution for the composite e2e row (the only
-    # double-digit full-registry bench number): wall seconds per DAG
-    # stage from its LAST timed pass.
+    # double-digit full-registry bench number), from the pass that
+    # produced the recorded MIN wall — the last pass's stages (the
+    # pre-r11 behavior) let a loaded final pass ship a 21.6 s
+    # `combine` attribution against the same record's 15.9 s min.
     e2e_stage_sec = None
     if "batch_pipeline_e2e" in names:
-        from skysafe_datalake_spark.plans.pipeline import LAST_STAGE_SECONDS
-
-        e2e_stage_sec = dict(LAST_STAGE_SECONDS) or None
+        e2e_stage_sec = _min_pass_stage_sec(
+            e2e_stage_passes, samples.get("batch_pipeline_e2e") or []
+        )
 
     detail_path = os.path.join(repo_root, f"BENCH_DETAIL_r{rnd:02d}.json")
     try:

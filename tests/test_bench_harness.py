@@ -596,6 +596,169 @@ def test_flag_regressions_floor_applies_to_prev_side_too():
     assert bench._flag_regressions(normalized, cur, prev) == {"real": 1.5}
 
 
+def test_prev_round_data_logs_sampleless_shape_downgrade(tmp_path, capsys):
+    """The shape-matched winner can be a sample-less stdout capture
+    (a headline run following a round whose only per-pass record is
+    an --all sweep) — the run_min fallback is then chosen even though
+    a per-pass-capable record exists. The shape match still wins (the
+    ~12% shape bias is uniform and sits near the 15% uniform-shift
+    bar) but the downgrade must be logged and recorded, never
+    invisible."""
+    _write_json(
+        tmp_path / "BENCH_FULL_r09.json",
+        {
+            "noise": {"canary_sec": [0.1]},
+            "all": True,
+            "samples": {"q": [1.0, 1.0]},
+        },
+    )
+    _write_json(
+        tmp_path / "BENCH_r09.json",
+        {"noise": {"canary_sec": [0.12]}, "all": False},
+    )
+    data, rnd, fname = bench._prev_round_data(str(tmp_path), 10, run_all=False)
+    assert fname == "BENCH_r09.json"
+    assert data["_selection"]["method_downgrade"] == "run_min"
+    assert data["_selection"]["per_pass_alternative"] == "BENCH_FULL_r09.json"
+    assert "run_min" in capsys.readouterr().err
+    # Same-shape record WITH samples: no downgrade, no marker.
+    data, _, fname = bench._prev_round_data(str(tmp_path), 10, run_all=True)
+    assert fname == "BENCH_FULL_r09.json"
+    assert "_selection" not in data
+
+
+def test_confirmation_controls_pick_stable_in_band():
+    # Preferred controls: unflagged, min wall inside
+    # [_REGRESSION_MIN_SEC, _CONTROL_MAX_SEC], most stable across the
+    # steady passes first, cheapest on ties. The flagged query never
+    # qualifies; out-of-band walls (sub-floor jitter, the 10 s
+    # composite) fill in only when the band runs dry, nearest first.
+    samples = {
+        "flagged": [3.0, 3.0, 3.0],
+        "stable": [0.5, 0.5, 0.5],
+        "stable2": [1.0, 1.01, 1.0],
+        "jittery": [0.5, 1.0, 0.5],
+        "tiny": [0.05, 0.05, 0.05],
+        "huge": [10.0, 10.0, 10.0],
+    }
+    got = bench._confirmation_controls(samples, {"flagged"}, n_controls=3)
+    assert got == ["stable", "stable2", "jittery"]
+    # Band exhausted: nearest out-of-band wall (tiny, 0.2 from the
+    # floor) beats the 10 s composite (7.0 past the cap).
+    got = bench._confirmation_controls(samples, {"flagged"}, n_controls=4)
+    assert got == ["stable", "stable2", "jittery", "tiny"]
+
+
+def test_confirm_flags_wide_matrix_needs_controls():
+    """The production path the pre-r11 tests never exercised: a
+    combined matrix wide enough for wall-derived load factors
+    (>= _MIN_QUERIES_FOR_WALL_LOAD queries) whose CONFIRMATION
+    columns carry walls for the flagged queries only. With a
+    mostly-jitter flag set (4 stall-inflated flags + 1 real 2x
+    regression) and a 2x-loaded confirmation window, the thin
+    confirm columns read the load off the flagged queries themselves
+    (median ~1) and falsely confirm the jitter flags; control
+    queries riding along anchor the load at its true 2x and the
+    jitter washes out while the real regression survives."""
+    controls = [f"q{i}" for i in range(8)]
+    jits = [f"jit{i}" for i in range(4)]
+    prev_samples = {n: [1.0, 1.0, 1.0] for n in controls + jits + ["reg"]}
+    prev_canaries = [0.1, 0.1, 0.1]
+    # Main passes: controls clean at their base 1.0; the four jitter
+    # queries hit a stall all three passes (true base 1.0, walls
+    # 2.0); reg genuinely regressed to 2.0.
+    samples = {n: [1.0, 1.0, 1.0] for n in controls}
+    samples.update({n: [2.0, 2.0, 2.0] for n in jits})
+    samples["reg"] = [2.0, 2.0, 2.0]
+    canaries = [0.1, 0.1, 0.1]
+    flagged = {n: 2.0 for n in jits + ["reg"]}
+    # Confirmation window loaded 2x (canaries track it): the jitter
+    # queries land back at base-times-load 2.0, reg at 4.0.
+    extra_canaries = [0.2, 0.2, 0.2]
+    extra_flagged_only = {n: [2.0, 2.0, 2.0] for n in jits}
+    extra_flagged_only["reg"] = [4.0, 4.0, 4.0]
+    confirmed, washed = bench._confirm_flags(
+        flagged,
+        samples,
+        canaries,
+        extra_flagged_only,
+        extra_canaries,
+        prev_samples,
+        prev_canaries,
+        envelope=1.0,
+    )
+    # The defect the controls close: jitter "confirmed" off its own
+    # thin load estimate.
+    assert set(jits) & set(confirmed)
+    # With controls in the confirmation passes the load factors come
+    # from 8 independent walls: jitter washes out at ~1.0, the real
+    # regression still confirms at 2x.
+    extra_with_controls = dict(extra_flagged_only)
+    extra_with_controls.update({n: [2.0, 2.0, 2.0] for n in controls})
+    confirmed, washed = bench._confirm_flags(
+        flagged,
+        samples,
+        canaries,
+        extra_with_controls,
+        extra_canaries,
+        prev_samples,
+        prev_canaries,
+        envelope=1.0,
+    )
+    assert set(confirmed) == {"reg"}
+    assert confirmed["reg"] == pytest.approx(2.0, abs=0.05)
+    assert set(washed) == set(jits)
+    assert all(r == pytest.approx(1.0, abs=0.05) for r in washed.values())
+
+
+def test_min_pass_stage_sec_tracks_the_min_wall_pass():
+    """Stage attribution must come from the pass that produced the
+    recorded min wall — the last pass shipped combine: 21.6 s stage
+    attribution in the clean r10 record against the same record's
+    15.9 s min (a loaded final pass). Empty stage dicts (failed
+    capture) are never picked."""
+    stage_dicts = [
+        {"combine": 21.6, "usage": 11.1},
+        {"combine": 6.4, "usage": 9.5},
+        {"combine": 8.0, "usage": 10.0},
+    ]
+    walls = [32.7, 15.9, 18.0]
+    picked = bench._min_pass_stage_sec(stage_dicts, walls)
+    assert picked == {"combine": 6.4, "usage": 9.5}
+    assert sum(picked.values()) == pytest.approx(walls[1], rel=0.01)
+    # A pass whose capture failed (empty dict) can't win even with
+    # the min wall.
+    assert bench._min_pass_stage_sec([{}, {"a": 1.0}], [1.0, 2.0]) == {
+        "a": 1.0
+    }
+    assert bench._min_pass_stage_sec([], []) is None
+    assert bench._min_pass_stage_sec([{}, {}], [1.0, 2.0]) is None
+
+
+def test_adjudicate_prev_shift_verdicts():
+    """A uniform shift the previous record demoted is settled by this
+    run's median vs that record: ~1 means the shifted level
+    reproduced (engine-wide change, now baked into the anchor), ~1/U
+    means the inflation unwound (host artifact), anything else stays
+    ambiguous. Without this, a genuine engine-wide regression is
+    demoted against a pre-regression anchor every round forever."""
+    prev = {"uniform_shift": 1.35}
+    out = bench._adjudicate_prev_shift(prev, 1.02)
+    assert out["verdict"] == "engine_wide_persisted"
+    out = bench._adjudicate_prev_shift(prev, 0.74)  # ~1/1.35
+    assert out["verdict"] == "host_artifact_evaporated"
+    out = bench._adjudicate_prev_shift(prev, 1.2)
+    assert out["verdict"] == "ambiguous"
+    # Flattering direction: a demoted 0.7x shift that evaporates
+    # reads ~1.43 on the next run.
+    out = bench._adjudicate_prev_shift({"uniform_shift": 0.7}, 1.43)
+    assert out["verdict"] == "host_artifact_evaporated"
+    # Nothing to adjudicate.
+    assert bench._adjudicate_prev_shift({}, 1.0) is None
+    assert bench._adjudicate_prev_shift(None, 1.0) is None
+    assert bench._adjudicate_prev_shift(prev, None) is None
+
+
 # ──────────────── scale_smoke over-scale refusal path ─────────────
 
 
