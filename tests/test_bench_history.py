@@ -1,0 +1,118 @@
+"""tools/bench_history.py — cross-round slow-creep detection over the
+durable BENCH_FULL records (pure Python, no Spark)."""
+
+from __future__ import annotations
+
+import json
+
+from tools import bench_history
+
+
+def _record(walls_by_query, canary=0.1, passes=3, noisy=False, shift=None):
+    """A minimal BENCH_FULL-shaped record: flat per-pass walls at the
+    given min level, steady canaries (thin-matrix canary-quotient
+    estimator: cost = wall/canary, deterministic for tests)."""
+    noise = {"canary_sec": [canary] * passes}
+    if noisy:
+        noise["noisy_host"] = True
+    if shift is not None:
+        noise["uniform_shift"] = shift
+    return {
+        "samples": {n: [w] * passes for n, w in walls_by_query.items()},
+        "queries": dict(walls_by_query),
+        "noise": noise,
+        "all": True,
+    }
+
+
+def _write(tmp_path, rnd, rec):
+    (tmp_path / f"BENCH_FULL_r{rnd:02d}.json").write_text(json.dumps(rec))
+
+
+def test_history_flags_slow_creep_single_steps_miss(tmp_path):
+    """A query creeping +10% per round never clears the 1.25x
+    single-step bar (bench.py is structurally blind to it) but is
+    1.33x cumulative over three steps — exactly what the tool must
+    surface. The flat companion queries stay unflagged."""
+    base = {"flat_a": 1.0, "flat_b": 2.0, "creep": 1.0}
+    for i, rnd in enumerate(range(7, 11)):
+        walls = dict(base)
+        walls["creep"] = round(1.0 * 1.1**i, 4)
+        _write(tmp_path, rnd, _record(walls))
+    out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
+    assert [r["round"] for r in out["rounds"]] == [7, 8, 9, 10]
+    assert all(r["clean"] for r in out["rounds"])
+    # Every single step is under the bar...
+    for step in out["steps"]:
+        assert step["clean_pair"] is True
+        assert step["median"] < bench_history._CUMULATIVE_BAR
+    # ...but the chained drift is not.
+    cum = out["cumulative"]
+    assert (cum["from_round"], cum["to_round"]) == (7, 10)
+    assert cum["cumulative_suspects"] == {"creep": 1.331}
+    assert cum["median"] == 1.0  # the bulk of the set is flat
+
+
+def test_history_excludes_unclean_endpoints(tmp_path):
+    """bench.py's anchor-inheritance rule applied retroactively: a
+    record that marked its own run noisy (or demoted a uniform shift)
+    cannot anchor the cumulative ratio — its costs are the unreliable
+    half of any ratio built on them. It still appears in the listing,
+    marked unclean, and its steps are marked clean_pair: False."""
+    _write(tmp_path, 9, _record({"q": 2.0, "r": 1.0}, noisy=True))
+    _write(tmp_path, 10, _record({"q": 1.0, "r": 1.0}))
+    _write(tmp_path, 11, _record({"q": 1.0, "r": 1.0}))
+    out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
+    assert [r["clean"] for r in out["rounds"]] == [False, True, True]
+    assert [s["clean_pair"] for s in out["steps"]] == [False, True]
+    cum = out["cumulative"]
+    assert (cum["from_round"], cum["to_round"]) == (10, 11)
+    # Had the noisy r9 anchored the cumulative, q would read 0.5x;
+    # from the clean pair it is flat.
+    assert cum["cumulative_suspects"] == {}
+    # A demoted uniform shift is equally disqualifying.
+    _write(tmp_path, 12, _record({"q": 1.0, "r": 1.0}, shift=1.3))
+    out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
+    assert out["cumulative"]["to_round"] == 11
+
+
+def test_history_wall_floor_binds_both_endpoints(tmp_path):
+    """Sub-floor walls are jitter at every round; chaining them turns
+    jitter into fake creep. A 0.05s query tripling stays unflagged;
+    the same ratio on a 0.5s query is flagged."""
+    _write(tmp_path, 10, _record({"tiny": 0.05, "big": 0.5}))
+    _write(tmp_path, 11, _record({"tiny": 0.15, "big": 1.5}))
+    out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
+    assert out["cumulative"]["cumulative_suspects"] == {"big": 3.0}
+
+
+def test_history_degenerate_inputs(tmp_path):
+    # No records at all.
+    out = bench_history.history([])
+    assert out == {"rounds": [], "steps": [], "cumulative": None}
+    # One clean record: a trajectory needs two endpoints.
+    _write(tmp_path, 11, _record({"q": 1.0}))
+    out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
+    assert out["cumulative"] is None and len(out["rounds"]) == 1
+    # Records without samples are not trajectory material.
+    (tmp_path / "BENCH_FULL_r09.json").write_text(
+        json.dumps({"noise": {"canary_sec": [0.1]}, "queries": {"q": 1.0}})
+    )
+    assert [
+        r for r, _, _ in bench_history.load_full_records(str(tmp_path))
+    ] == [11]
+
+
+def test_history_runs_on_the_real_repo_records():
+    """The committed r9-r11 FULL records must parse and chain: r9 is
+    noisy (excluded endpoint), r10/r11 are the clean pair the round-11
+    drift read is built on."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = bench_history.load_full_records(repo)
+    assert [r for r, _, _ in records] >= [9, 10, 11][: len(records)]
+    out = bench_history.history(records)
+    cum = out["cumulative"]
+    assert cum is not None and cum["from_round"] >= 10
+    assert cum["n_queries"] > 150
