@@ -804,6 +804,9 @@ def _confirmation_controls(
 ) -> list[str]:
     """UNFLAGGED queries to re-time alongside the flagged set in the
     confirmation passes, purely to anchor those passes' load factors.
+    ``flagged`` is every query currently above the bar — confirmed
+    candidates, envelope suspects, and cap-overflow flags alike: a
+    query whose wall is in question cannot anchor anyone's load.
 
     Without them the combined matrix's confirmation columns carry
     walls only for the flagged queries — often fewer than
@@ -1319,7 +1322,12 @@ def main() -> None:
         # walls for _pass_load_factors — without them a loaded
         # confirmation window over a small flag set reads its own
         # inflation as load ~1 and falsely confirms jitter flags.
-        controls = _confirmation_controls(samples, set(to_check))
+        # Everything above the bar is excluded from control duty:
+        # cap-overflow flags and envelope suspects are exactly the
+        # queries whose walls are in question.
+        controls = _confirmation_controls(
+            samples, set(regressions) | set(suspects)
+        )
         print(
             f"# confirming {len(to_check)} regression flags with "
             f"{confirm_passes} targeted passes ({len(controls)} "

@@ -643,6 +643,13 @@ def test_confirmation_controls_pick_stable_in_band():
     }
     got = bench._confirmation_controls(samples, {"flagged"}, n_controls=3)
     assert got == ["stable", "stable2", "jittery"]
+    # Every above-bar query is excluded from control duty — envelope
+    # suspects and cap-overflow flags are exactly the queries whose
+    # walls are in question, so they cannot anchor the load factors.
+    got = bench._confirmation_controls(
+        samples, {"flagged", "stable", "stable2"}, n_controls=2
+    )
+    assert got == ["jittery", "tiny"]
     # Band exhausted: nearest out-of-band wall (tiny, 0.2 from the
     # floor) beats the 10 s composite (7.0 past the cap).
     got = bench._confirmation_controls(samples, {"flagged"}, n_controls=4)
