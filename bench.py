@@ -745,7 +745,9 @@ _SHIFT_ADJUDICATION_TOL = 0.10
 
 
 def _adjudicate_prev_shift(
-    prev_noise: dict | None, cur_median: float | None
+    prev_noise: dict | None,
+    cur_median: float | None,
+    cur_run_noisy: bool = False,
 ) -> dict | None:
     """Retrospective verdict on a uniform_shift the PREVIOUS round's
     record demoted wholesale. The uniform-shift guard cannot tell
@@ -769,6 +771,12 @@ def _adjudicate_prev_shift(
     - anything else: ambiguous (e.g. this run is itself shifted) —
       carried for the next clean run to settle.
 
+    A run that flagged ITSELF noisy cannot adjudicate either way —
+    its median is the unreliable half of the read — so
+    ``cur_run_noisy`` forces the verdict to ambiguous (with the
+    reason recorded), the same demotion discipline applied to
+    per-query flags everywhere else in this module.
+
     Returns the adjudication dict, or None when the prev record
     carries no uniform_shift or there's no current median to read."""
     prev_shift = (prev_noise or {}).get("uniform_shift")
@@ -782,7 +790,10 @@ def _adjudicate_prev_shift(
         "prev_shift": u,
         "cur_median_vs_prev": round(cur_median, 3),
     }
-    if abs(cur_median - 1.0) <= _SHIFT_ADJUDICATION_TOL:
+    if cur_run_noisy:
+        out["verdict"] = "ambiguous"
+        out["reason"] = "cur_run_noisy"
+    elif abs(cur_median - 1.0) <= _SHIFT_ADJUDICATION_TOL:
         out["verdict"] = "engine_wide_persisted"
     elif abs(cur_median - 1.0 / u) <= _SHIFT_ADJUDICATION_TOL:
         out["verdict"] = "host_artifact_evaporated"
@@ -1223,7 +1234,9 @@ def main() -> None:
     # reproduces against a pre-regression anchor every round, gets
     # demoted every time, and never reaches normalized_regressions.
     cur_median = _median(normalized.values()) if normalized else None
-    adjudication = _adjudicate_prev_shift(prev_noise, cur_median)
+    adjudication = _adjudicate_prev_shift(
+        prev_noise, cur_median, cur_run_noisy=bool(noise.get("noisy_host"))
+    )
     if adjudication is not None:
         noise["prev_shift_adjudication"] = adjudication
         if adjudication["verdict"] == "engine_wide_persisted":

@@ -760,6 +760,11 @@ def test_adjudicate_prev_shift_verdicts():
     # reads ~1.43 on the next run.
     out = bench._adjudicate_prev_shift({"uniform_shift": 0.7}, 1.43)
     assert out["verdict"] == "host_artifact_evaporated"
+    # A run that flagged itself noisy cannot attribute either way —
+    # even a dead-center median stays ambiguous (same demotion
+    # discipline as per-query flags).
+    out = bench._adjudicate_prev_shift(prev, 1.0, cur_run_noisy=True)
+    assert out["verdict"] == "ambiguous" and out["reason"] == "cur_run_noisy"
     # Nothing to adjudicate.
     assert bench._adjudicate_prev_shift({}, 1.0) is None
     assert bench._adjudicate_prev_shift(None, 1.0) is None
