@@ -514,14 +514,7 @@ def _pass_load_factors(samples: dict[str, list]) -> list[float] | None:
         ]
         if not ratios:
             return None  # ragged matrix: don't guess
-        ratios.sort()
-        mid = len(ratios) // 2
-        med = (
-            ratios[mid]
-            if len(ratios) % 2
-            else (ratios[mid - 1] + ratios[mid]) / 2
-        )
-        factors.append(med)
+        factors.append(_median(ratios))
     return factors
 
 
@@ -568,13 +561,7 @@ def _per_pass_costs(
             if c_f > 0 and i < len(load) and load[i] > 0:
                 corrected.append(c_f / load[i])
         if corrected:
-            corrected.sort()
-            mid = len(corrected) // 2
-            host = (
-                corrected[mid]
-                if len(corrected) % 2
-                else (corrected[mid - 1] + corrected[mid]) / 2
-            )
+            host = _median(corrected)
     first_steady = 1 if (host is not None and len(canaries) >= 3) else 0
     costs: dict[str, float] = {}
     for name, walls in samples.items():
@@ -790,12 +777,21 @@ def _adjudicate_prev_shift(
         "prev_shift": u,
         "cur_median_vs_prev": round(cur_median, 3),
     }
+    persisted = abs(cur_median - 1.0) <= _SHIFT_ADJUDICATION_TOL
+    evaporated = abs(cur_median - 1.0 / u) <= _SHIFT_ADJUDICATION_TOL
     if cur_run_noisy:
         out["verdict"] = "ambiguous"
         out["reason"] = "cur_run_noisy"
-    elif abs(cur_median - 1.0) <= _SHIFT_ADJUDICATION_TOL:
+    elif persisted and evaporated:
+        # Modest shifts (e.g. u = 1.18 -> 1/u = 0.847) leave the two
+        # tolerance bands overlapping on [0.9, 0.947]; a median inside
+        # the overlap is consistent with BOTH hypotheses and must not
+        # be silently resolved by elif order.
+        out["verdict"] = "ambiguous"
+        out["reason"] = "bands_overlap"
+    elif persisted:
         out["verdict"] = "engine_wide_persisted"
-    elif abs(cur_median - 1.0 / u) <= _SHIFT_ADJUDICATION_TOL:
+    elif evaporated:
         out["verdict"] = "host_artifact_evaporated"
     else:
         out["verdict"] = "ambiguous"
@@ -1129,13 +1125,6 @@ def main() -> None:
     # comparison and the per-query normalization.
     prev_lookup = _prev_round_data(repo_root, rnd, run_all)
     noise.update(_canary_comparison(canary_sec, repo_root, rnd, prev_lookup))
-    # A shape-matched prior record without per-pass samples forces the
-    # run_min fallback even though a per-pass record of the other
-    # shape exists — _prev_round_data logged it; persist the downgrade
-    # in the artifact too so the weaker estimator is never invisible.
-    _sel = ((prev_lookup[0] or {}).get("_selection")) or None
-    if _sel:
-        noise["prev_record_selection"] = _sel
     # This run's own quality flag, from the best evidence available:
     # the wall-corroborated per-pass load factors when the sample
     # matrix is wide enough (a canary instant can spike on a transient
@@ -1196,6 +1185,16 @@ def main() -> None:
             file=sys.stderr,
         )
         prev_data = None
+    # A shape-matched prior record without per-pass samples forces the
+    # run_min fallback even though a per-pass record of the other
+    # shape exists — _prev_round_data logged it; persist the downgrade
+    # in the artifact too so the weaker estimator is never invisible.
+    # (Recorded only when the comparison actually happens: after the
+    # cross-SF guard, a skipped normalization must not carry a
+    # method-downgrade marker for a method that never ran.)
+    _sel = ((prev_data or {}).get("_selection")) or None
+    if _sel:
+        noise["prev_record_selection"] = _sel
     prev_queries = (prev_data or {}).get("queries") or {}
     prev_samples = (prev_data or {}).get("samples") or {}
     prev_canaries = ((prev_data or {}).get("noise") or {}).get(
@@ -1240,17 +1239,24 @@ def main() -> None:
     if adjudication is not None:
         noise["prev_shift_adjudication"] = adjudication
         if adjudication["verdict"] == "engine_wide_persisted":
-            noise["engine_wide_regression"] = {
-                "ratio": adjudication["prev_shift"],
+            # _uniform_shift flags both directions; a persisted
+            # speedup (shift < 1) is news, not an alarm — only a
+            # persisted slowdown earns the regression key and the
+            # bisect call-to-action.
+            u = adjudication["prev_shift"]
+            kind = "regression" if u > 1 else "speedup"
+            noise[f"engine_wide_{kind}"] = {
+                "ratio": u,
                 "demoted_in_round": prev_rnd,
             }
             print(
-                f"# ENGINE-WIDE REGRESSION: r{prev_rnd}'s demoted "
-                f"uniform shift x{adjudication['prev_shift']} "
+                f"# ENGINE-WIDE {kind.upper()}: r{prev_rnd}'s demoted "
+                f"uniform shift x{u} "
                 "REPRODUCED (this run's median vs that record is "
                 f"{adjudication['cur_median_vs_prev']}) — engine "
                 "cost, not host weather, and it is now baked into "
-                "the anchor; bisect the round that shifted",
+                "the anchor"
+                + ("; bisect the round that shifted" if u > 1 else ""),
                 file=sys.stderr,
             )
         else:
@@ -1271,7 +1277,11 @@ def main() -> None:
     anchor_noisy = bool(prev_noise.get("noisy_host"))
     if prev_data is not None:
         noise["anchor_noisy"] = anchor_noisy
-    if anchor_noisy and regressions:
+    if anchor_noisy and normalized:
+        # The unreliability cuts BOTH ways: an inflated anchor also
+        # flattens the ratio of a genuinely-regressed query, so a
+        # zero-flag result against a noisy anchor earns the
+        # withheld-verdict summary, not the confident all-clear.
         demotion_reason = "noisy_anchor"
         n_demoted = len(regressions)
         suspects.update(regressions)
@@ -1280,8 +1290,9 @@ def main() -> None:
             f"# prev anchor r{prev_rnd} recorded noisy_host: true — "
             f"demoting {n_demoted} above-bar flags to "
             "normalized_suspects (the anchor-side costs are the "
-            "unreliable half of the ratio; confirmation skipped — "
-            "re-timing the current side cannot repair the anchor)",
+            "unreliable half of the ratio, in both directions; "
+            "confirmation skipped — re-timing the current side "
+            "cannot repair the anchor)",
             file=sys.stderr,
         )
     # Targeted confirmation: a flag from the main passes is a

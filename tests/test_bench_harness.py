@@ -760,6 +760,17 @@ def test_adjudicate_prev_shift_verdicts():
     # reads ~1.43 on the next run.
     out = bench._adjudicate_prev_shift({"uniform_shift": 0.7}, 1.43)
     assert out["verdict"] == "host_artifact_evaporated"
+    # Modest shifts leave the two tolerance bands overlapping (u=1.18
+    # -> 1/u=0.847, bands [0.9,1.1] and [0.747,0.947] share
+    # [0.9,0.947]); a median inside the overlap is consistent with
+    # both hypotheses and must not be resolved by branch order.
+    out = bench._adjudicate_prev_shift({"uniform_shift": 1.18}, 0.92)
+    assert out["verdict"] == "ambiguous" and out["reason"] == "bands_overlap"
+    # A persisted SPEEDUP adjudicates as persisted too — the caller
+    # names the noise key by direction (engine_wide_speedup, no
+    # bisect alarm).
+    out = bench._adjudicate_prev_shift({"uniform_shift": 0.7}, 1.0)
+    assert out["verdict"] == "engine_wide_persisted"
     # A run that flagged itself noisy cannot attribute either way —
     # even a dead-center median stays ambiguous (same demotion
     # discipline as per-query flags).

@@ -86,10 +86,35 @@ def test_history_wall_floor_binds_both_endpoints(tmp_path):
     assert out["cumulative"]["cumulative_suspects"] == {"big": 3.0}
 
 
+def test_history_restricts_to_the_newest_records_scale_factor(tmp_path):
+    """bench.py writes BENCH_FULL on any --all run at the active
+    SF_DIR, and a cross-SF ratio is data volume, not engine drift —
+    one local sf0.001 sweep landing between two sf0.1 records would
+    otherwise turn the trajectory into fake 100x improvement. Records
+    at a different SF than the newest are dropped and listed."""
+    r10 = _record({"q": 1.0, "r": 1.0})
+    r10["sf"] = 0.1
+    tiny = _record({"q": 0.01, "r": 0.01})
+    tiny["sf"] = 0.001
+    r12 = _record({"q": 1.0, "r": 1.0})
+    r12["sf"] = 0.1
+    _write(tmp_path, 10, r10)
+    _write(tmp_path, 11, tiny)
+    _write(tmp_path, 12, r12)
+    out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
+    assert out["sf"] == 0.1
+    assert out["skipped_other_sf"] == ["BENCH_FULL_r11.json"]
+    assert [r["round"] for r in out["rounds"]] == [10, 12]
+    cum = out["cumulative"]
+    assert (cum["from_round"], cum["to_round"]) == (10, 12)
+    assert cum["cumulative_suspects"] == {}
+
+
 def test_history_degenerate_inputs(tmp_path):
     # No records at all.
     out = bench_history.history([])
-    assert out == {"rounds": [], "steps": [], "cumulative": None}
+    assert out["rounds"] == [] and out["steps"] == []
+    assert out["cumulative"] is None
     # One clean record: a trajectory needs two endpoints.
     _write(tmp_path, 11, _record({"q": 1.0}))
     out = bench_history.history(bench_history.load_full_records(str(tmp_path)))

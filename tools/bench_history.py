@@ -125,7 +125,31 @@ def history(records: list[tuple[int, str, dict]]) -> dict:
     """Per-round quality + step ratios + the clean-endpoint cumulative
     drift read. Step ratios pair EVERY consecutive record (marked with
     both endpoints' cleanliness); the cumulative compares only the
-    earliest clean record to the latest clean one."""
+    earliest clean record to the latest clean one.
+
+    Records are first restricted to the NEWEST record's scale factor:
+    bench.py writes BENCH_FULL on any --all run at the active SF_DIR,
+    and a cross-SF ratio is data volume, not engine drift (the same
+    guard bench.py applies to its own cross-round normalization — one
+    local sf0.001 sweep landing as a FULL record would otherwise turn
+    the whole trajectory into fake 100x "improvement"). Dropped
+    records are listed under ``skipped_other_sf``; records without an
+    ``sf`` field (old fixtures) are kept."""
+    target_sf = None
+    for _, _, data in reversed(records):
+        if data.get("sf") is not None:
+            target_sf = data.get("sf")
+            break
+    skipped = [
+        fname
+        for _, fname, data in records
+        if data.get("sf") is not None and data.get("sf") != target_sf
+    ]
+    records = [
+        (rnd, fname, data)
+        for rnd, fname, data in records
+        if data.get("sf") in (None, target_sf)
+    ]
     rounds = []
     for rnd, fname, data in records:
         q = record_quality(data)
@@ -170,14 +194,25 @@ def history(records: list[tuple[int, str, dict]]) -> dict:
                 sorted(suspects.items(), key=lambda kv: -kv[1])
             ),
         }
-    return {"rounds": rounds, "steps": steps, "cumulative": cumulative}
+    return {
+        "sf": target_sf,
+        "skipped_other_sf": skipped,
+        "rounds": rounds,
+        "steps": steps,
+        "cumulative": cumulative,
+    }
 
 
 def main() -> int:
     repo_root = os.path.dirname(_HERE)
     argv = sys.argv[1:]
     if "--repo" in argv:
-        repo_root = argv[argv.index("--repo") + 1]
+        idx = argv.index("--repo") + 1
+        if idx >= len(argv):
+            print("usage: bench_history.py [--repo ROOT] [--write]",
+                  file=sys.stderr)
+            return 2
+        repo_root = argv[idx]
     records = load_full_records(repo_root)
     out = history(records)
     if not records:
