@@ -160,7 +160,10 @@ seconds inside the composite `batch_pipeline_e2e` row, so a
 regression there is attributable to a DAG stage. Since round 11 the
 stages come from the pass that produced the recorded MIN wall (the
 last pass shipped a loaded 21.6 s `combine` attribution against the
-clean r10 record's own 15.9 s min).
+clean r10 record's own 15.9 s min); since round 12 the gap between
+the stage sum and that wall (session/scan work between stage timers)
+is its own `inter_stage_overhead` key, so the stage table sums to
+the wall it annotates.
 """
 
 from __future__ import annotations
@@ -519,10 +522,22 @@ def _pass_load_factors(samples: dict[str, list]) -> list[float] | None:
 
 
 def _per_pass_costs(
-    samples: dict[str, list], canaries: list
+    samples: dict[str, list],
+    canaries: list,
+    load_samples: dict[str, list] | None = None,
 ) -> dict[str, float]:
     """Host-speed-relative per-query cost, robust to load swinging
     BETWEEN passes and to unrepresentative canary instants.
+
+    ``load_samples`` optionally restricts which queries' walls feed
+    the per-pass load factors (costs are still computed for every
+    query in ``samples``). The confirmation path uses this to keep
+    the flagged queries — whose walls are exactly what's in question
+    — out of the load medians for their own confirmation columns: a
+    loaded confirmation window over a flag-dominated column otherwise
+    reads its own inflation as ~1x load and falsely confirms jitter
+    (the r11 control machinery capped controls at 8 while the flag
+    set could reach 40, so flags still dominated the median).
 
     With a wide-enough sample matrix the per-pass load factor comes
     from the walls themselves (see _pass_load_factors): cost(q) =
@@ -549,7 +564,9 @@ def _per_pass_costs(
     unknowable and each pass's wall is divided by the SAME pass's
     canary, min of quotients — the r9-era arithmetic, still sound for
     whole-pass load tracked by the canary."""
-    load = _pass_load_factors(samples)
+    load = _pass_load_factors(
+        samples if load_samples is None else load_samples
+    )
     host = None
     if load is not None:
         corrected = []
@@ -762,7 +779,12 @@ def _adjudicate_prev_shift(
     its median is the unreliable half of the read — so
     ``cur_run_noisy`` forces the verdict to ambiguous (with the
     reason recorded), the same demotion discipline applied to
-    per-query flags everywhere else in this module.
+    per-query flags everywhere else in this module. Symmetrically, a
+    PREV record that marked its own run noisy recorded its shift off
+    walls it itself distrusts (current writers park such shifts under
+    `uniform_shift_vs_noisy_anchor`, which this function ignores, but
+    pre-r12 records can carry the unqualified key) — forced to
+    ambiguous with reason `prev_run_noisy`.
 
     Returns the adjudication dict, or None when the prev record
     carries no uniform_shift or there's no current median to read."""
@@ -782,6 +804,9 @@ def _adjudicate_prev_shift(
     if cur_run_noisy:
         out["verdict"] = "ambiguous"
         out["reason"] = "cur_run_noisy"
+    elif (prev_noise or {}).get("noisy_host"):
+        out["verdict"] = "ambiguous"
+        out["reason"] = "prev_run_noisy"
     elif persisted and evaporated:
         # Modest shifts (e.g. u = 1.18 -> 1/u = 0.847) leave the two
         # tolerance bands overlapping on [0.9, 0.947]; a median inside
@@ -876,7 +901,15 @@ def _min_pass_stage_sec(
     `combine: 21.6 s` (stage sum ~32.7 s) against the same record's
     15.9 s min wall. Pairs stage dicts positionally with the per-pass
     walls; empty stage dicts (a pass where capture failed) are never
-    picked."""
+    picked.
+
+    The instrumented stages cover the DAG work only; session reuse
+    checks, raw-layer scans between stages, and the write of the
+    stage-timing sidecar itself run between the stage timers (the r11
+    record read 11.59 s of stages against a 13.19 s wall, ~12%
+    unattributed). That residual is recorded explicitly under
+    `inter_stage_overhead` so the stage table sums to the wall it
+    annotates instead of silently under-reporting."""
     pairs = [
         (w, d)
         for w, d in zip(walls, stage_dicts)
@@ -884,7 +917,15 @@ def _min_pass_stage_sec(
     ]
     if not pairs:
         return None
-    return dict(min(pairs, key=lambda p: p[0])[1])
+    wall, stages = min(pairs, key=lambda p: p[0])
+    out = dict(stages)
+    try:
+        residual = float(wall) - sum(float(v) for v in out.values())
+    except (TypeError, ValueError):
+        return out
+    if residual > 0:
+        out["inter_stage_overhead"] = round(residual, 3)
+    return out
 
 
 def _confirm_flags(
@@ -897,6 +938,7 @@ def _confirm_flags(
     prev_canaries: list,
     envelope: float,
     threshold: float = _NORMALIZED_REGRESSION_RATIO,
+    load_exclude: set | None = None,
 ) -> tuple[dict[str, float], dict[str, float]]:
     """(confirmed, washed_out) split of regression flags after a
     targeted confirmation pass. Two same-code same-data back-to-back
@@ -908,7 +950,19 @@ def _confirm_flags(
     arithmetic); the flag survives only if the min canary-relative
     cost over ALL samples — main + confirmation — still exceeds the
     bar. A stall or loaded pass that manufactured the flag washes out
-    (the extra samples beat it); a real plan regression reproduces."""
+    (the extra samples beat it); a real plan regression reproduces.
+
+    ``load_exclude`` (default: the flagged set) names the queries
+    whose walls must not feed the per-pass load factors — every
+    above-bar query, not just the slice being confirmed. The load
+    medians then come from the unflagged population alone: in the
+    main columns that is the near-full registry, in the confirmation
+    columns it is exactly the rider controls. Without the exclusion a
+    flag set larger than the control count dominates the confirmation
+    columns' median, so a loaded window over mostly-jitter flags
+    reads its own inflation as ~1x load and falsely confirms them —
+    scaling controls 1:1 with a 40-flag cap would triple the
+    confirmation window's cost instead."""
     confirmed: dict[str, float] = {}
     washed: dict[str, float] = {}
     # Costs are computed over the FULL matrices, not a flagged-only
@@ -922,7 +976,14 @@ def _confirm_flags(
         for n, w in samples.items()
     }
     comb_canaries = list(canary_sec) + list(extra_canaries)
-    cur_costs = _per_pass_costs(comb_samples, comb_canaries)
+    if load_exclude is None:
+        load_exclude = set(flagged)
+    load_samples = {
+        n: w for n, w in comb_samples.items() if n not in load_exclude
+    }
+    cur_costs = _per_pass_costs(
+        comb_samples, comb_canaries, load_samples=load_samples
+    )
     prev_costs = _per_pass_costs(prev_samples, prev_canaries)
     for name, first_ratio in flagged.items():
         c, p = cur_costs.get(name), prev_costs.get(name)
@@ -1312,7 +1373,27 @@ def main() -> None:
     # demote every flag to suspect, and leave the per-query map for
     # cross-round analysis once a clean record exists.
     shift = _uniform_shift(normalized)
-    if shift is not None:
+    if shift is not None and anchor_noisy:
+        # A shift measured against a noisy anchor is most plausibly
+        # the ANCHOR's own inflation read backwards — the normalized
+        # ratios' prev side is the unreliable half. Recording it under
+        # the unqualified key would hand next round's
+        # _adjudicate_prev_shift a number it could "reproduce" into a
+        # false ENGINE-WIDE REGRESSION verdict, and bench_history
+        # would mark this record unclean for an anchor-side artifact.
+        # Park it under a qualified key (adjudication and history read
+        # only `uniform_shift`); the flags are already demoted with
+        # demotion_reason = "noisy_anchor".
+        noise["uniform_shift_vs_noisy_anchor"] = shift
+        print(
+            f"# median normalized ratio {shift} vs the NOISY r"
+            f"{prev_rnd} anchor — recorded as "
+            "uniform_shift_vs_noisy_anchor (not adjudicable: the "
+            "anchor side of the ratio is the unreliable half)",
+            file=sys.stderr,
+        )
+        shift = None
+    elif shift is not None:
         noise["uniform_shift"] = shift
         demotion_reason = "uniform_shift"
         suspects.update(regressions)
@@ -1348,10 +1429,12 @@ def main() -> None:
         # inflation as load ~1 and falsely confirms jitter flags.
         # Everything above the bar is excluded from control duty:
         # cap-overflow flags and envelope suspects are exactly the
-        # queries whose walls are in question.
-        controls = _confirmation_controls(
-            samples, set(regressions) | set(suspects)
-        )
+        # queries whose walls are in question. The same set is barred
+        # from the load medians themselves (load_exclude below) so a
+        # flag set larger than the control count cannot dominate the
+        # confirmation columns' load estimate.
+        above_bar = set(regressions) | set(suspects)
+        controls = _confirmation_controls(samples, above_bar)
         print(
             f"# confirming {len(to_check)} regression flags with "
             f"{confirm_passes} targeted passes ({len(controls)} "
@@ -1379,6 +1462,7 @@ def main() -> None:
             prev_samples,
             prev_canaries,
             envelope,
+            load_exclude=above_bar,
         )
         noise["regression_confirm"] = {
             "passes": confirm_passes,
@@ -1412,7 +1496,13 @@ def main() -> None:
     noise["normalized_method"] = (
         ("per_pass" if per_pass else "run_min") if normalized else None
     )
-    noise["normalized_reliable"] = not unstable and shift is None
+    # Reliability keys off EVERY demotion path, not just this run's
+    # own instability and shift: a verdict withheld for a noisy
+    # anchor is a withheld comparison, and a reader keying off this
+    # flag must not take it as a trustworthy all-clear.
+    noise["normalized_reliable"] = (
+        not unstable and shift is None and demotion_reason is None
+    )
     if normalized:
         if regressions:
             worst = ", ".join(

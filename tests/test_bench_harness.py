@@ -718,6 +718,52 @@ def test_confirm_flags_wide_matrix_needs_controls():
     assert all(r == pytest.approx(1.0, abs=0.05) for r in washed.values())
 
 
+def test_confirm_flags_flag_dominated_window_still_washes_out():
+    """The r11 control machinery capped controls at
+    _MIN_QUERIES_FOR_WALL_LOAD (8) while the confirmed set could
+    reach SPARK_GRAFT_CONFIRM_CAP (40): with 27 jitter flags and 8
+    controls in a 2x-loaded confirmation window, the confirm-column
+    load median over ALL walls is dominated by the flagged queries
+    (whose ratio-to-own-min reads ~1: loaded confirm wall over a
+    main-pass min that was stall-inflated the same way), so the
+    window reads ~1x load and the jitter falsely confirms.
+    load_exclude bars every above-bar query from the load medians —
+    the confirm columns' load comes from the 8 controls alone, the
+    jitter washes out at ~1.0, and the one real regression still
+    confirms at 2x."""
+    controls = [f"c{i}" for i in range(8)]
+    jits = [f"jit{i}" for i in range(27)]
+    prev_samples = {n: [1.0, 1.0, 1.0] for n in controls + jits + ["reg"]}
+    prev_canaries = [0.1, 0.1, 0.1]
+    # Main passes quiet; the 27 jitter queries hit stalls all three
+    # passes (true base 1.0, walls 2.0); reg genuinely regressed.
+    samples = {n: [1.0, 1.0, 1.0] for n in controls}
+    samples.update({n: [2.0, 2.0, 2.0] for n in jits})
+    samples["reg"] = [2.0, 2.0, 2.0]
+    canaries = [0.1, 0.1, 0.1]
+    flagged = {n: 2.0 for n in jits + ["reg"]}
+    # Confirmation window loaded 2x (canaries track it): jitter lands
+    # back at base-times-load 2.0, reg at 4.0, controls at 2.0.
+    extra_canaries = [0.2, 0.2, 0.2]
+    extra = {n: [2.0, 2.0, 2.0] for n in jits + controls}
+    extra["reg"] = [4.0, 4.0, 4.0]
+    confirmed, washed = bench._confirm_flags(
+        flagged,
+        samples,
+        canaries,
+        extra,
+        extra_canaries,
+        prev_samples,
+        prev_canaries,
+        envelope=1.0,
+        load_exclude=set(flagged),
+    )
+    assert set(confirmed) == {"reg"}
+    assert confirmed["reg"] == pytest.approx(2.0, abs=0.05)
+    assert set(washed) == set(jits)
+    assert all(r == pytest.approx(1.0, abs=0.05) for r in washed.values())
+
+
 def test_min_pass_stage_sec_tracks_the_min_wall_pass():
     """Stage attribution must come from the pass that produced the
     recorded min wall — the last pass shipped combine: 21.6 s stage
@@ -734,12 +780,36 @@ def test_min_pass_stage_sec_tracks_the_min_wall_pass():
     assert picked == {"combine": 6.4, "usage": 9.5}
     assert sum(picked.values()) == pytest.approx(walls[1], rel=0.01)
     # A pass whose capture failed (empty dict) can't win even with
-    # the min wall.
+    # the min wall; the wall gap lands in inter_stage_overhead.
     assert bench._min_pass_stage_sec([{}, {"a": 1.0}], [1.0, 2.0]) == {
-        "a": 1.0
+        "a": 1.0,
+        "inter_stage_overhead": 1.0,
     }
     assert bench._min_pass_stage_sec([], []) is None
     assert bench._min_pass_stage_sec([{}, {}], [1.0, 2.0]) is None
+
+
+def test_min_pass_stage_sec_attributes_inter_stage_residual():
+    """The instrumented stages cover DAG work only; the r11 record
+    read 11.59 s of stages against a 13.19 s min wall with the ~1.6 s
+    of session/scan work between stage timers silently missing. The
+    residual is now its own key so the stage table sums to the wall
+    it annotates; a zero/negative residual (timer skew) adds no
+    key."""
+    picked = bench._min_pass_stage_sec(
+        [{"combine": 6.0, "usage": 5.59}], [13.19]
+    )
+    assert picked["inter_stage_overhead"] == pytest.approx(1.6, abs=0.01)
+    assert sum(picked.values()) == pytest.approx(13.19, abs=0.001)
+    # Stage sum == wall: nothing to attribute.
+    assert "inter_stage_overhead" not in bench._min_pass_stage_sec(
+        [{"a": 2.0}], [2.0]
+    )
+    # Timer skew (stages sum past the wall) must not invent negative
+    # overhead.
+    assert "inter_stage_overhead" not in bench._min_pass_stage_sec(
+        [{"a": 2.5}], [2.0]
+    )
 
 
 def test_adjudicate_prev_shift_verdicts():
@@ -780,6 +850,29 @@ def test_adjudicate_prev_shift_verdicts():
     assert bench._adjudicate_prev_shift({}, 1.0) is None
     assert bench._adjudicate_prev_shift(None, 1.0) is None
     assert bench._adjudicate_prev_shift(prev, None) is None
+
+
+def test_adjudicate_prev_shift_distrusts_unclean_anchor():
+    """A shift recorded by a run that marked ITSELF noisy was measured
+    off walls that run distrusts — adjudicating it would re-launder
+    the unreliable half of the ratio into an engine-wide verdict.
+    Current writers park such shifts under
+    uniform_shift_vs_noisy_anchor (ignored here entirely); a pre-r12
+    record carrying the unqualified key plus noisy_host forces
+    ambiguous."""
+    out = bench._adjudicate_prev_shift(
+        {"uniform_shift": 1.35, "noisy_host": True}, 1.0
+    )
+    assert out["verdict"] == "ambiguous" and out["reason"] == "prev_run_noisy"
+    # The qualified key is not adjudicable at all: a shift measured
+    # against a noisy ANCHOR two rounds back says nothing about the
+    # engine (bench.py records it only for telemetry).
+    assert (
+        bench._adjudicate_prev_shift(
+            {"uniform_shift_vs_noisy_anchor": 1.35}, 1.0
+        )
+        is None
+    )
 
 
 # ──────────────── scale_smoke over-scale refusal path ─────────────

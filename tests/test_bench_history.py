@@ -74,6 +74,16 @@ def test_history_excludes_unclean_endpoints(tmp_path):
     _write(tmp_path, 12, _record({"q": 1.0, "r": 1.0}, shift=1.3))
     out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
     assert out["cumulative"]["to_round"] == 11
+    # ...but a shift parked under uniform_shift_vs_noisy_anchor is an
+    # ANCHOR-side artifact (bench.py r12): the run's own walls are
+    # fine and it stays a clean endpoint.
+    rec = _record({"q": 1.0, "r": 1.0})
+    rec["noise"]["uniform_shift_vs_noisy_anchor"] = 0.8
+    _write(tmp_path, 13, rec)
+    out = bench_history.history(bench_history.load_full_records(str(tmp_path)))
+    assert out["rounds"][-1]["round"] == 13
+    assert out["rounds"][-1]["clean"] is True
+    assert out["cumulative"]["to_round"] == 13
 
 
 def test_history_wall_floor_binds_both_endpoints(tmp_path):
@@ -129,15 +139,25 @@ def test_history_degenerate_inputs(tmp_path):
 
 
 def test_history_runs_on_the_real_repo_records():
-    """The committed r9-r11 FULL records must parse and chain: r9 is
-    noisy (excluded endpoint), r10/r11 are the clean pair the round-11
-    drift read is built on."""
+    """Integration smoke: whatever BENCH_FULL records this checkout
+    carries must parse and chain without raising. Structural checks
+    only — record cleanliness, round numbers, and registry size drift
+    round over round and are the artifacts' contract, not this unit
+    suite's (the r11 version pinned `from_round >= 10` /
+    `n_queries > 150` and would break on unrelated future rounds)."""
     import os
+
+    import pytest
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     records = bench_history.load_full_records(repo)
-    assert [r for r, _, _ in records] >= [9, 10, 11][: len(records)]
+    if not records:
+        pytest.skip("no committed BENCH_FULL records in this checkout")
     out = bench_history.history(records)
+    assert [r["round"] for r in out["rounds"]] == sorted(
+        r for r, _, _ in records
+    )
     cum = out["cumulative"]
-    assert cum is not None and cum["from_round"] >= 10
-    assert cum["n_queries"] > 150
+    if cum is not None:
+        assert cum["from_round"] <= cum["to_round"]
+        assert cum["n_queries"] > 0

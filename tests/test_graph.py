@@ -204,3 +204,26 @@ def test_nn_join_null_distance_never_wins(spark):
         left, only_null, ["fid"], dist, tie_breakers=["sid"]
     ).collect()[0]
     assert row["sid"] == 999 and row["dist_km"] is None
+
+
+def test_pagerank_checkpoint_level_decision_recorded(spark):
+    """The adaptive DISK_ONLY checkpoint branch keys on >5M lineitem
+    rows — a scale no test fixture reaches, so the decision must be
+    observable (LAST_PAGERANK_CHECKPOINT + a stderr marker) for the
+    64x scale smoke to PROVE the branch fires instead of trusting
+    the threshold by eye. At sf0.001 the record must say default
+    level with the true row count."""
+    from tests.conftest import SF_SMALL
+
+    from skysafe_datalake_spark.workload import QUERIES
+    from skysafe_datalake_spark.workload.analytics import (
+        LAST_PAGERANK_CHECKPOINT,
+    )
+
+    QUERIES["pagerank_integer"](spark, SF_SMALL).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    n = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").count()
+    assert LAST_PAGERANK_CHECKPOINT["lineitem_rows"] == n
+    assert n <= 5_000_000
+    assert LAST_PAGERANK_CHECKPOINT["level"] == "default"

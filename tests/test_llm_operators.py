@@ -255,6 +255,10 @@ def test_minhash_lsh_auto_salt_decision_and_identity(spark):
     # 40 docs x 4 bands x 48 B ~ 7.7 kB << default 10 MB: no salt
     auto_small = D.minhash_lsh_pairs(sigs, "doc_id", n_hashes=8, min_matching=4)
     assert "_g" not in _optimized_plan(auto_small)
+    # The diagnostic decision record (scale-smoke evidence) must
+    # agree with the plan's structure.
+    assert D.LAST_SALT_DECISION["salted"] is False
+    assert D.LAST_SALT_DECISION["reason"] == "est_vs_broadcast_threshold"
     assert sorted(map(tuple, auto_small.collect())) == plain
 
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -265,6 +269,8 @@ def test_minhash_lsh_auto_salt_decision_and_identity(spark):
             sigs, "doc_id", n_hashes=8, min_matching=4
         )
         assert "_g" in _optimized_plan(auto_shuffle)
+        assert D.LAST_SALT_DECISION["salted"] is True
+        assert D.LAST_SALT_DECISION["reason"] == "no_runtime_broadcast"
         assert sorted(map(tuple, auto_shuffle.collect())) == plain
         # Tiny positive threshold: estimate exceeds it -> auto salts
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
@@ -272,6 +278,9 @@ def test_minhash_lsh_auto_salt_decision_and_identity(spark):
             sigs, "doc_id", n_hashes=8, min_matching=4
         )
         assert "_g" in _optimized_plan(auto_tiny)
+        assert D.LAST_SALT_DECISION["salted"] is True
+        assert D.LAST_SALT_DECISION["reason"] == "est_vs_broadcast_threshold"
+        assert D.LAST_SALT_DECISION["est_bytes"] == 40 * 4 * 48
         assert sorted(map(tuple, auto_tiny.collect())) == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
