@@ -375,6 +375,40 @@ def print_e2e_stage_table(small_dir: str, big_dir: str) -> None:
         print(f"{st:18s} {s:7.2f} {b:7.2f} {r_txt}")
 
 
+def _print_adaptive_decisions(scale: str) -> None:
+    """Machine-readable record of the adaptive scale-branch decisions
+    the queries just timed actually took (pagerank checkpoint level,
+    LSH auto-salt) — the stderr markers prove a branch fired in the
+    log stream; this line pins the decision inputs (row counts, size
+    estimates) next to the timing table so the README's
+    Measured-scaling claims are reproducible from one artifact."""
+    import json
+
+    decisions = {}
+    try:
+        from skysafe_datalake_spark.workload.analytics import (
+            LAST_PAGERANK_CHECKPOINT,
+        )
+
+        if LAST_PAGERANK_CHECKPOINT:
+            decisions["pagerank_checkpoint"] = dict(LAST_PAGERANK_CHECKPOINT)
+    except ImportError:
+        pass
+    try:
+        from skysafe_datalake_spark.operators.dedup import LAST_SALT_DECISION
+
+        if LAST_SALT_DECISION:
+            decisions["minhash_lsh_salt"] = dict(LAST_SALT_DECISION)
+    except ImportError:
+        pass
+    if decisions:
+        print(
+            f"# adaptive-branch decisions at {scale}: "
+            + json.dumps(decisions, sort_keys=True),
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
     from skysafe_datalake_spark.session import get_spark
 
@@ -395,7 +429,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_REPLICATE") != "1":
         replicate(spark)
     small = timed(spark, SRC)
+    _print_adaptive_decisions("1x")
     big = timed(spark, DST)
+    _print_adaptive_decisions(f"{REPL}x")
     print(f"{'query':24s} {'1x':>7s} {f'{REPL}x':>7s} {'ratio':>6s}")
     for n in NAMES:
         s, b = small[n], big[n]
