@@ -757,6 +757,17 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TRI_BACKBONE)
         .select("u", "v")
     )
+    # Materialize the backbone ONCE (lazy, so plan construction stays
+    # job-free; first action computes it). The edge list feeds five
+    # plan branches (both degree ends, the orientation scan, and the
+    # wedge join's e1/e2/e3 sides), and Spark's exchange reuse does
+    # NOT collapse them — the executed plan re-ran the full
+    # pairs-self-join + top-K backbone cut per branch (22 lineitem
+    # scans / 12 TakeOrdereds before this line). At 100 TB the
+    # backbone cut IS the query's cost; everything after it is joins
+    # over a ≤5000-row table, so cutting lineage here turns ~6
+    # backbone recomputations into one for a fixed-size local cache.
+    raw_edges = raw_edges.localCheckpoint(eager=False)
     ends = raw_edges.select(F.col("u").alias("node")).unionAll(
         raw_edges.select(F.col("v").alias("node"))
     )
@@ -1624,6 +1635,11 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = e.groupBy(
         "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
     ).agg(F.count("*").cast("bigint").alias("o"))
+    # Materialize the contingency table ONCE (lazy; |types|x7 rows).
+    # Four consumers (row marginals, column marginals, grand total,
+    # the cells join) each re-ran the full events scan + aggregation
+    # without this cut — exchange reuse does not collapse them.
+    obs = obs.localCheckpoint(eager=False)
     rt = obs.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("row_tot")
     )

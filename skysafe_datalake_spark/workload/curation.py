@@ -606,60 +606,63 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     not-null, FK orphans via anti-join, domain bounds, key
     uniqueness.
 
-    Scale shape: each rule is a map-side-combined aggregation or an
-    anti-join keyed on the FK — no rule materializes violating ROWS
-    (a quarantine variant would filter instead of count, same plan);
-    the five tiny results union driver-free. Counts are exact
-    integers, so the gate's pass/fail decision is deterministic."""
+    Scale shape: single-pass metric collection (the deequ design) —
+    ALL per-table rules ride ONE map-side-combined aggregation per
+    table (one orders scan carries the range, not-null, uniqueness,
+    and FK-checked counts; one lineitem scan carries its domain
+    check), the FK orphan count is the only extra pass (an anti-join
+    keyed on the FK), and the rule rows are unpivoted from the three
+    1-row aggregates with ``stack`` — no rule materializes violating
+    ROWS (a quarantine variant would filter instead of count, same
+    plan). Counts are exact integers, so the gate's pass/fail
+    decision is deterministic."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     li = load(spark, sf_dir, "lineitem")
 
-    def rule(name, n_checked_col, n_viol_col, src):
-        return src.agg(
-            F.lit(name).alias("rule_name"),
-            n_checked_col.cast("bigint").alias("n_checked"),
-            n_viol_col.cast("bigint").alias("n_violations"),
-        )
-
-    r1 = rule(
-        "orders_totalprice_positive",
-        F.count("*"),
-        F.sum(F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)),
-        o,
+    stats_o = o.agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_date"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("v_uniq"),
     )
-    r2 = rule(
-        "orders_orderdate_not_null",
-        F.count("*"),
-        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)),
-        o,
-    )
-    orphans = o.join(
-        c, o["o_custkey"] == c["c_custkey"], "left_anti"
-    ).agg(F.count("*").alias("n_orph"))
-    total_o = o.agg(F.count("*").alias("n_all"))
-    r3 = total_o.crossJoin(orphans).select(
-        F.lit("orders_custkey_references_customer").alias("rule_name"),
-        F.col("n_all").cast("bigint").alias("n_checked"),
-        F.col("n_orph").cast("bigint").alias("n_violations"),
-    )
-    r4 = rule(
-        "lineitem_quantity_in_range",
-        F.count("*"),
+    stats_li = li.agg(
+        F.count("*").cast("bigint").alias("li_all"),
         F.sum(
             F.when(
                 (F.col("l_quantity") < 1.0) | (F.col("l_quantity") > 50.0), 1
             ).otherwise(0)
-        ),
-        li,
+        )
+        .cast("bigint")
+        .alias("v_qty"),
     )
-    r5 = rule(
-        "orders_orderkey_unique",
-        F.count("*"),
-        F.count("*") - F.countDistinct("o_orderkey"),
-        o,
+    orphans = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_orph"))
     )
-    return r1.unionByName(r2).unionByName(r3).unionByName(r4).unionByName(r5)
+    wide = stats_o.crossJoin(F.broadcast(stats_li)).crossJoin(
+        F.broadcast(orphans)
+    )
+    # Unpivot the 1-row metric vector into (rule, checked, violations)
+    # rows in ONE projection — a per-rule UNION of separate aggregates
+    # re-scanned orders five times for the same numbers.
+    return wide.select(
+        F.expr(
+            "stack(5,"
+            " 'orders_totalprice_positive', n_all, v_price,"
+            " 'orders_orderdate_not_null', n_all, v_date,"
+            " 'orders_custkey_references_customer', n_all, n_orph,"
+            " 'lineitem_quantity_in_range', li_all, v_qty,"
+            " 'orders_orderkey_unique', n_all, v_uniq"
+            ") as (rule_name, n_checked, n_violations)"
+        )
+    )
 
 
 # ─────────────────── golden-record survivorship ──────────────────

@@ -427,6 +427,12 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     ).distinct()
+    # Materialize each distinct key set ONCE (lazy; ≤ |nation| = 25
+    # rows each). Three consumers per side (INTERSECT + two EXCEPTs)
+    # each re-ran the full customer/supplier scan + distinct without
+    # this cut.
+    c = c.localCheckpoint(eager=False)
+    s = s.localCheckpoint(eager=False)
     both = c.intersect(s).select(F.lit("both").alias("side"), "nationkey")
     c_only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "nationkey")
     s_only = s.exceptAll(c).select(F.lit("supplier_only").alias("side"), "nationkey")

@@ -325,6 +325,10 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+    # Materialize the 1-row bounds ONCE (lazy): its two broadcast
+    # sites (binning + final de-binning) each re-ran the full
+    # min/max scan without this cut.
+    bounds = bounds.localCheckpoint(eager=False)
     binned = li.crossJoin(F.broadcast(bounds)).select(
         F.col("l_returnflag").alias("flag"),
         F.least(
@@ -660,16 +664,29 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _KSO_K)
         .select("corpus", "h")
     )
-    # ≤ 2k rows from here on: the single-partition window is fine.
-    u = (
-        sk.select("h")
-        .distinct()
+    # ≤ 2k = 64 rows from here on: the single-partition window is
+    # fine. The merge is ONE linear chain over sk (group the ≤2k
+    # sketch rows by hash for the per-corpus membership flags, THEN
+    # rank the distinct hashes and keep the k smallest) — the
+    # equivalent rank-the-distinct-hashes-then-join-back-to-sk
+    # formulation consumes sk twice, and each consumer re-runs the
+    # full corpus tokenize + distinct + per-corpus top-k (exchange
+    # reuse does not collapse the duplicated subtrees), paying one
+    # whole corpus pass for nothing at any scale. The exact-reference
+    # branch keeps its own pass by design (it needs every distinct
+    # hash, not the sketch).
+    flags = (
+        sk.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("corpus") == "A", 1).otherwise(0)).alias(
+                "in_a"
+            ),
+            F.max(F.when(F.col("corpus") == "B", 1).otherwise(0)).alias(
+                "in_b"
+            ),
+        )
         .withColumn("rn", F.row_number().over(Window.orderBy("h")))
         .where(F.col("rn") <= _KSO_K)
-    )
-    flags = u.join(sk, "h").groupBy("h", "rn").agg(
-        F.max(F.when(F.col("corpus") == "A", 1).otherwise(0)).alias("in_a"),
-        F.max(F.when(F.col("corpus") == "B", 1).otherwise(0)).alias("in_b"),
     )
     est = flags.agg(
         F.coalesce(

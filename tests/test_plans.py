@@ -339,10 +339,70 @@ def test_tpch_q21_semi_anti_joins(spark):
 
 
 def test_graph_triangles_backbone_is_topk(spark):
-    """The top-5000 edge cut must be a TakeOrderedAndProject (per-
-    partition top-k), not a global Sort of all pair weights."""
+    """The top-20 output cut must be a TakeOrderedAndProject (per-
+    partition top-k), not a global Sort; the backbone edge list must
+    be a checkpoint cut (ExistingRDD), so the expensive pairs
+    self-join + top-5000 cut materializes ONCE instead of once per
+    consuming branch (pre-cut, the executed plan re-ran it per branch:
+    22 lineitem scans / 12 TakeOrdereds)."""
     plan = plan_of(spark, "graph_triangles")
     assert "TakeOrderedAndProject" in plan
+    assert "ExistingRDD" in plan
+    assert _parquet_scans(plan) == 0
+
+
+def _parquet_scans(plan: str) -> int:
+    """Actual parquet-scan NODES in a formatted plan (the tree and the
+    details section each print a node once — count details headers)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+
+
+def test_bounded_subtree_checkpoints_cut_rescans(spark):
+    """Queries whose bounded intermediate feeds several plan branches
+    must cut lineage there — Spark's exchange reuse does NOT collapse
+    the duplicated subtrees, so without the cut each consumer re-runs
+    the full upstream scan. The checkpointed table is bounded in every
+    case (contingency cells, ≤64-row sketch, ≤|nation| key sets), so
+    the materialization is free at any SF."""
+    for name, allowed_scans in [
+        ("chi2_independence", 0),  # events scanned only inside the cut
+        ("set_operations", 0),  # both distinct key sets cut
+        # 1-row bounds cut; binning + exact-percentile reference
+        # passes remain (the reference is by design a second scan).
+        ("histogram_quantile_sketch", 2),
+    ]:
+        plan = plan_of(spark, name)
+        assert "ExistingRDD" in plan, name
+        assert _parquet_scans(plan) == allowed_scans, (
+            name,
+            _parquet_scans(plan),
+        )
+
+
+def test_kmv_set_ops_two_corpus_passes(spark):
+    """The sketch-merge side must be ONE linear chain over the ≤2k-row
+    sketch (group-then-rank), not rank-then-join-back — the latter
+    consumes the sketch twice and each consumer re-runs the full
+    corpus tokenize/distinct/top-k. Exactly two documents scans: the
+    sketch chain plus the by-design exact-reference pass."""
+    plan = plan_of(spark, "kmv_set_ops")
+    assert _parquet_scans(plan) == 2
+
+
+def test_dq_expectations_single_pass(spark):
+    """The DQ suite must collect ALL per-table rule metrics in one
+    aggregation per table (deequ's single-pass design): one orders
+    scan + one orders anti-join probe + one lineitem scan + the
+    customer build side = 4 scans total, with the rule rows unpivoted
+    from the 1-row metric vectors (no per-rule UNION of aggregates,
+    which re-scanned orders five times)."""
+    plan = plan_of(spark, "dq_expectations")
+    assert _parquet_scans(plan) == 4
+    # the unpivot: one generate(stack) node, no 5-way union
+    assert "Generate" in plan
+    assert "Union" not in plan
 
 
 def test_countmin_cells_bounded(spark):

@@ -154,8 +154,9 @@ ADJUDICATED: dict[str, dict[str, str]] = {
     },
     "dq_expectations": {
         "bcast_nested_loop": (
-            "1-row total-orders count x 1-row orphan count (rule row "
-            "assembly)"
+            "two sites: 1-row orders metric vector x 1-row lineitem "
+            "metric vector x 1-row orphan count (single-pass rule "
+            "assembly before the stack unpivot)"
         ),
     },
     "histogram_quantile_sketch": {
