@@ -91,11 +91,13 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
     # accumulating blocks in the CacheManager (round-9 review).
     try:
         model = Pipeline(stages=[assembler, scaler, kmeans]).fit(df)
-        # localCheckpoint (lazy), not cache(): the label stats, threshold
+        # localCheckpoint, not cache(): the label stats, threshold
         # aggregate, and the caller's final action all reuse the blocks,
         # and the ContextCleaner frees them once the result frame is
         # dropped — cache() entries would leak in the CacheManager across
-        # repeated batch runs (streaming foreachBatch).
+        # repeated batch runs (streaming foreachBatch). Under AQE the
+        # transform's stages run at this call — fine post-fit, the model
+        # already materialized its training passes.
         clustered = model.transform(df).drop(
             "_ml_features_raw", "_ml_features"
         ).localCheckpoint(eager=False)

@@ -292,9 +292,13 @@ def minhash_lsh_pairs(
     ``None`` to disable the observation entirely.
     """
     # The signature table feeds the self-join AND the scoring joins;
-    # materialize once via lazy localCheckpoint (blocks are freed by
-    # the ContextCleaner when the result frame is dropped — cache()
+    # materialize once via localCheckpoint (blocks are freed by the
+    # ContextCleaner when the result frame is dropped — cache()
     # entries would leak in the CacheManager across batch runs).
+    # NOTE: under AQE, eager=False still runs the upstream shuffle
+    # stages AT THIS CALL (query-build time) — accepted here because
+    # the table is corpus-sized, so a session-lifetime cache entry
+    # is the worse trade (see plans/materialize.py).
     signatures = signatures.localCheckpoint(eager=False)
     n_bands = n_hashes // band_size
     if isinstance(salt_groups, str) and salt_groups != "auto":
@@ -624,7 +628,9 @@ def simhash_neardup_pairs(
     # localCheckpoint, not cache(): the three downstream uses (band
     # explode + both verify sides) share one materialization, and the
     # blocks are released by the ContextCleaner when the result frame
-    # is dropped — cache() entries would pin the CacheManager forever.
+    # is dropped — cache() entries would pin the CacheManager forever
+    # (corpus-sized table; under AQE the upstream stages run at this
+    # call — the accepted trade, see plans/materialize.py).
     sigs = signatures.localCheckpoint(eager=False)
     bands = F.array(
         *[

@@ -36,11 +36,13 @@ def global_rank(
     column) — otherwise ranks of ties are partition-placement-
     dependent, which this operator exists to avoid.
     """
-    # Materialize the range shuffle once (lazy localCheckpoint, the
-    # dedup.py idiom): the counts collect below AND the caller's
-    # action both consume it — unmaterialized, the dominant range
-    # exchange would run twice, and _gr_pid assignments would depend
-    # on two separate executions of a sampled partitioner.
+    # Materialize the range shuffle once (localCheckpoint, the
+    # dedup.py idiom — under AQE it runs the range exchange at THIS
+    # call, which is load-bearing here, not a wart: the counts
+    # collect below needs it anyway): the counts collect AND the
+    # caller's action both consume it — unmaterialized, the dominant
+    # range exchange would run twice, and _gr_pid assignments would
+    # depend on two separate executions of a sampled partitioner.
     ranged = (
         (
             df.repartitionByRange(num_partitions, *order_by)

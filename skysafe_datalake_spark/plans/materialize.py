@@ -1,0 +1,51 @@
+"""Materialize-once for bounded intermediates that feed several plan
+branches.
+
+Spark's exchange reuse does NOT collapse duplicated *unexchanged*
+subtrees: a frame consumed by N branches re-runs its full upstream
+scan N times unless lineage is cut or the frame is cached. Two tools
+exist, with different tradeoffs measured on this build (Spark 4.1.2,
+AQE on):
+
+- ``df.localCheckpoint(eager=False)``: despite ``eager=False``, AQE
+  materializes every upstream shuffle stage AT THE CALL — i.e. at
+  query-BUILD time (verified: jobs launch inside the builder before
+  any action; plan-only consumers such as ``df.explain`` and the
+  ``tools/plan_audit.py`` sweep execute the whole subtree just to
+  print a plan — at 100 TB an explain becomes a multi-TB job). The
+  checkpoint also stores blocks executor-locally WITHOUT lineage: if
+  an executor holding blocks is lost (dynamic allocation, spot
+  instances, decommission), every consumer fails irrecoverably
+  instead of recomputing. Its one advantage: blocks are freed by
+  driver GC of the RDD, no unpersist bookkeeping.
+
+- ``df.persist(MEMORY_AND_DISK)``: fully lazy (0 jobs at builder or
+  explain time, verified), computes the subtree once on first action,
+  every consumer reads ``InMemoryTableScan``, and lineage is KEPT so
+  a lost cache partition recomputes instead of failing. Cost: the
+  cache entry lives until ``unpersist()`` or session end — acceptable
+  only when the cached frame is BOUNDED (k rows, a contingency table,
+  a 1-row aggregate), never for corpus-sized frames.
+
+This helper encodes that decision: bounded multi-consumer
+intermediates persist; corpus-sized or iterative lineage cuts (graph
+fixed-points, dedup signature tables) keep using ``localCheckpoint``
+at their call sites, where block GC outweighs the builder-time job
+and the docstrings carry the AQE caveat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def materialize_bounded(df: DataFrame) -> DataFrame:
+    """Cache a BOUNDED multi-consumer intermediate, lazily.
+
+    The caller asserts the frame is small (≤ thousands of rows) at any
+    scale factor — the cache entry is never explicitly unpersisted, so
+    an unbounded frame here would pin corpus-sized storage for the
+    session lifetime.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from skysafe_datalake_spark.plans.materialize import materialize_bounded
 from skysafe_datalake_spark.workload.registry import register
 from skysafe_datalake_spark.workload.relational import dsum, dsum_sql
 from skysafe_datalake_spark.workload.tables import EVENTS_SQL, load, pround
@@ -757,17 +758,18 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TRI_BACKBONE)
         .select("u", "v")
     )
-    # Materialize the backbone ONCE (lazy, so plan construction stays
-    # job-free; first action computes it). The edge list feeds five
-    # plan branches (both degree ends, the orientation scan, and the
-    # wedge join's e1/e2/e3 sides), and Spark's exchange reuse does
-    # NOT collapse them — the executed plan re-ran the full
-    # pairs-self-join + top-K backbone cut per branch (22 lineitem
-    # scans / 12 TakeOrdereds before this line). At 100 TB the
-    # backbone cut IS the query's cost; everything after it is joins
-    # over a ≤5000-row table, so cutting lineage here turns ~6
-    # backbone recomputations into one for a fixed-size local cache.
-    raw_edges = raw_edges.localCheckpoint(eager=False)
+    # Materialize the backbone ONCE (lazy persist — see
+    # plans/materialize.py for why not localCheckpoint: under AQE the
+    # checkpoint ran the backbone at query-BUILD time and dropped
+    # lineage). The edge list feeds five plan branches (both degree
+    # ends, the orientation scan, and the wedge join's e1/e2/e3
+    # sides), and Spark's exchange reuse does NOT collapse them — the
+    # executed plan re-ran the full pairs-self-join + top-K backbone
+    # cut per branch (22 lineitem scans / 12 TakeOrdereds before this
+    # line). At 100 TB the backbone cut IS the query's cost;
+    # everything after it is joins over a ≤5000-row table, so caching
+    # here turns ~6 backbone recomputations into one bounded cache.
+    raw_edges = materialize_bounded(raw_edges)
     ends = raw_edges.select(F.col("u").alias("node")).unionAll(
         raw_edges.select(F.col("v").alias("node"))
     )
@@ -972,8 +974,10 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("tf")
     )
     # The postings table feeds BOTH df and the scorer; localCheckpoint
-    # materializes it once so the token stream is aggregated a single
-    # time (lazy plan reuse would re-scan the corpus for each branch).
+    # materializes it once (at this call, under AQE) so the token
+    # stream is aggregated a single time — plan reuse alone would
+    # re-scan the corpus for each branch; corpus-sized, so GC-freed
+    # checkpoint blocks beat a session-lifetime cache entry.
     tf = tf.localCheckpoint(eager=False)
     # df re-aggregates the (tiny) postings table — skew-safe map-side
     # count per term, broadcast back.
@@ -1069,7 +1073,9 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     # Each stage table is |users|-sized and feeds BOTH the next
     # stage and the final assembly — localCheckpoint materializes
-    # each once so the event stream isn't re-scanned per branch.
+    # each once (at this call, under AQE) so the event stream isn't
+    # re-scanned per branch; |users| is unbounded at 100 TB, so
+    # GC-freed blocks beat a session-lifetime cache entry.
     v = (
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -1635,11 +1641,13 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = e.groupBy(
         "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
     ).agg(F.count("*").cast("bigint").alias("o"))
-    # Materialize the contingency table ONCE (lazy; |types|x7 rows).
-    # Four consumers (row marginals, column marginals, grand total,
-    # the cells join) each re-ran the full events scan + aggregation
-    # without this cut — exchange reuse does not collapse them.
-    obs = obs.localCheckpoint(eager=False)
+    # Materialize the contingency table ONCE (lazy persist of
+    # |types|x7 rows — see plans/materialize.py for the
+    # localCheckpoint-vs-persist tradeoff). Four consumers (row
+    # marginals, column marginals, grand total, the cells join) each
+    # re-ran the full events scan + aggregation without this cut —
+    # exchange reuse does not collapse them.
+    obs = materialize_bounded(obs)
     rt = obs.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("row_tot")
     )

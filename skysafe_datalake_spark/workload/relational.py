@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from skysafe_datalake_spark.plans.materialize import materialize_bounded
 from skysafe_datalake_spark.workload.registry import register
 from skysafe_datalake_spark.workload.tables import EVENTS_SQL, load, pround, pround_sql
 
@@ -427,12 +428,13 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     ).distinct()
-    # Materialize each distinct key set ONCE (lazy; ≤ |nation| = 25
-    # rows each). Three consumers per side (INTERSECT + two EXCEPTs)
-    # each re-ran the full customer/supplier scan + distinct without
-    # this cut.
-    c = c.localCheckpoint(eager=False)
-    s = s.localCheckpoint(eager=False)
+    # Materialize each distinct key set ONCE (lazy persist; ≤ |nation|
+    # = 25 rows each — see plans/materialize.py for the
+    # localCheckpoint-vs-persist tradeoff). Three consumers per side
+    # (INTERSECT + two EXCEPTs) each re-ran the full customer/supplier
+    # scan + distinct without this cut.
+    c = materialize_bounded(c)
+    s = materialize_bounded(s)
     both = c.intersect(s).select(F.lit("both").alias("side"), "nationkey")
     c_only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "nationkey")
     s_only = s.exceptAll(c).select(F.lit("supplier_only").alias("side"), "nationkey")

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from skysafe_datalake_spark.plans.materialize import materialize_bounded
 from skysafe_datalake_spark.workload.registry import register
 from skysafe_datalake_spark.workload.tables import load
 
@@ -325,10 +326,11 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
-    # Materialize the 1-row bounds ONCE (lazy): its two broadcast
-    # sites (binning + final de-binning) each re-ran the full
-    # min/max scan without this cut.
-    bounds = bounds.localCheckpoint(eager=False)
+    # Materialize the 1-row bounds ONCE (lazy persist — see
+    # plans/materialize.py for the localCheckpoint-vs-persist
+    # tradeoff): its two broadcast sites (binning + final de-binning)
+    # each re-ran the full min/max scan without this cut.
+    bounds = materialize_bounded(bounds)
     binned = li.crossJoin(F.broadcast(bounds)).select(
         F.col("l_returnflag").alias("flag"),
         F.least(

@@ -344,11 +344,16 @@ def test_graph_triangles_backbone_is_topk(spark):
     be a checkpoint cut (ExistingRDD), so the expensive pairs
     self-join + top-5000 cut materializes ONCE instead of once per
     consuming branch (pre-cut, the executed plan re-ran it per branch:
-    22 lineitem scans / 12 TakeOrdereds)."""
+    22 lineitem scans / 12 TakeOrdereds). r13: the cut is a lazy
+    persist (InMemoryRelation), not a localCheckpoint — under AQE the
+    checkpoint ran the backbone at query-BUILD time (see
+    plans/materialize.py); the build subtree's 2 lineitem scans are
+    now visible in the plan but execute once, on first action."""
     plan = plan_of(spark, "graph_triangles")
     assert "TakeOrderedAndProject" in plan
-    assert "ExistingRDD" in plan
-    assert _parquet_scans(plan) == 0
+    assert "InMemoryRelation" in plan
+    assert "ExistingRDD" not in plan
+    assert _parquet_scans(plan) == 2
 
 
 def _parquet_scans(plan: str) -> int:
@@ -363,18 +368,27 @@ def test_bounded_subtree_checkpoints_cut_rescans(spark):
     """Queries whose bounded intermediate feeds several plan branches
     must cut lineage there — Spark's exchange reuse does NOT collapse
     the duplicated subtrees, so without the cut each consumer re-runs
-    the full upstream scan. The checkpointed table is bounded in every
-    case (contingency cells, ≤64-row sketch, ≤|nation| key sets), so
-    the materialization is free at any SF."""
+    the full upstream scan. The cached table is bounded in every case
+    (contingency cells, ≤64-row sketch, ≤|nation| key sets), so the
+    materialization is free at any SF. r13: the cut is a lazy persist
+    (InMemoryRelation), not localCheckpoint — see plans/materialize.py
+    for why (AQE ran the checkpoint at query-BUILD time, and its
+    executor-local blocks had no lineage to recover from); the
+    cache-build subtree's scans are now visible in the plan (counted
+    once per unique node; they execute once per run, not per
+    consumer)."""
     for name, allowed_scans in [
-        ("chi2_independence", 0),  # events scanned only inside the cut
-        ("set_operations", 0),  # both distinct key sets cut
-        # 1-row bounds cut; binning + exact-percentile reference
-        # passes remain (the reference is by design a second scan).
-        ("histogram_quantile_sketch", 2),
+        # events scanned once, inside the cache build
+        ("chi2_independence", 1),
+        # one scan per cached key-set build (customer + supplier)
+        ("set_operations", 2),
+        # 1-row bounds build + binning pass + exact-percentile
+        # reference pass (the reference is by design a second scan).
+        ("histogram_quantile_sketch", 3),
     ]:
         plan = plan_of(spark, name)
-        assert "ExistingRDD" in plan, name
+        assert "InMemoryRelation" in plan, name
+        assert "ExistingRDD" not in plan, name
         assert _parquet_scans(plan) == allowed_scans, (
             name,
             _parquet_scans(plan),

@@ -235,14 +235,23 @@ def _shuffle_counts(plan: str) -> tuple[int, int]:
     a +1 here long before it costs minutes at scale), not a claim
     about what AQE finally runs.
     """
-    shuffles = len(
-        re.findall(
-            r"Exchange (?:hashpartitioning|rangepartitioning|"
-            r"SinglePartition|RoundRobinPartitioning)",
-            plan,
-        )
+    # A lazily-persisted bounded intermediate (plans/materialize.py)
+    # prints its cached build subtree once PER InMemoryTableScan
+    # consumer, but the build executes ONCE — dedupe exchanges by
+    # their [plan_id=N] (node-unique, stable across reprints of the
+    # same InMemoryRelation) so the count reflects executed work, not
+    # explain-text repetition. Lines without a plan_id (none observed
+    # on 4.1.2 simple mode, kept for safety) count raw.
+    def _count(node_pattern: str) -> int:
+        ids = re.findall(node_pattern + r"[^\n]*\[plan_id=(\d+)\]", plan)
+        bare = re.findall(node_pattern + r"(?![^\n]*plan_id)", plan)
+        return len(set(ids)) + len(bare)
+
+    shuffles = _count(
+        r"Exchange (?:hashpartitioning|rangepartitioning|"
+        r"SinglePartition|RoundRobinPartitioning)"
     )
-    broadcasts = len(re.findall(r"BroadcastExchange", plan))
+    broadcasts = _count(r"BroadcastExchange")
     return shuffles, broadcasts
 
 
