@@ -80,6 +80,33 @@ def test_shuffle_budget_pinned(audit):
     )
 
 
+def test_audit_counts_insensitive_to_cache_materialization(spark):
+    """The budget pins STATIC plan shape, but the CacheManager matches
+    canonicalized plans session-wide: once some earlier action has
+    materialized a lazily-persisted bounded intermediate
+    (plans/materialize.py), a fresh build of the same query explains
+    the cached subtree's FINAL adaptive plan — different exchange
+    counts than the clean-session pin (observed live: the oracle-parity
+    module running before this one flipped chi2_independence 6 -> 7).
+    audit_all therefore clears the cache before sweeping; this pins
+    that a pre-materialized cache cannot change its counts."""
+    from skysafe_datalake_spark.workload import QUERIES
+
+    name = "chi2_independence"
+    _h, _s, errors, fresh = audit_all(spark, SF_SMALL, names=[name])
+    assert not errors
+    # Materialize the query's persisted intermediate via a real action.
+    QUERIES[name](spark, SF_SMALL).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    _h, _s, errors, warm = audit_all(spark, SF_SMALL, names=[name])
+    assert not errors
+    assert warm[name] == fresh[name], (
+        "audit counts drifted after cache materialization — the sweep "
+        f"is order-dependent again: fresh={fresh[name]} warm={warm[name]}"
+    )
+
+
 def _snap(queries: dict) -> dict:
     return {"_meta": {}, "queries": queries}
 

@@ -270,6 +270,17 @@ def audit_all(
     """
     from skysafe_datalake_spark.workload import QUERIES
 
+    # The sweep must see every lazily-persisted bounded intermediate
+    # (plans/materialize.py) UN-materialized: the CacheManager matches
+    # canonicalized plans session-wide, so a prior action on the same
+    # frame (e.g. the oracle-parity suite running ahead of this audit
+    # at the same SF) flips the cached subtree's explain output to its
+    # FINAL adaptive plan, whose exchange count differs from the
+    # static one this budget pins (observed: chi2_independence 6 -> 7
+    # under the full pytest session vs standalone). A cleared cache
+    # makes the audit deterministic wherever it runs; entries are
+    # re-registered lazily by each query build below at zero cost.
+    spark.catalog.clearCache()
     names = list(QUERIES) if names is None else names
     hits: list[Hit] = []
     errors: dict[str, str] = {}
