@@ -47,5 +47,18 @@ def materialize_bounded(df: DataFrame) -> DataFrame:
     scale factor — the cache entry is never explicitly unpersisted, so
     an unbounded frame here would pin corpus-sized storage for the
     session lifetime.
+
+    The unpersist-first is load-bearing for measurement honesty: the
+    CacheManager matches CANONICALIZED plans session-wide, so a second
+    build of the same query (a later bench pass, a repeated service
+    call) would silently reuse the first build's materialized blocks —
+    its timed action then skips the build subtree entirely, which is
+    cross-run result caching, not a property of the plan (observed
+    live: graph_triangles' bench pass 1 at 6.7 s, passes 2-3 at 0.6 s
+    reading pass 1's backbone). ``unpersist`` resolves by the same
+    canonical-plan match, so calling it on the FRESH frame evicts any
+    stale entry from a previous build; within one build, every
+    consumer still shares the single lazy materialization.
     """
+    df.unpersist()
     return df.persist(StorageLevel.MEMORY_AND_DISK)
