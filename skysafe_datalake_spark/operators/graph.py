@@ -140,6 +140,59 @@ def dedup_cluster_assign(
     )
 
 
+def cooccurrence_pairs(
+    df: DataFrame, group: str, item: str
+) -> DataFrame:
+    """All unordered item pairs ``(u < v)`` co-occurring within a
+    group, one output row per (group, pair) — the edge-generation
+    primitive behind the co-occurrence graphs (parts or suppliers
+    sharing an order). Aggregate per pair for weights
+    (``groupBy(u, v).count()`` = number of co-occurring groups) or
+    ``.distinct()`` for the unweighted edge set.
+
+    Shape: ONE shuffle (the groupBy(group) collect_set, with map-side
+    partial aggregation), then pairs are generated array-natively
+    inside the JVM. This replaces the previous formulation at every
+    call site — ``pairs.distinct()`` + self-join on the group key +
+    re-aggregation — which cost a distinct exchange on (group, item),
+    a second exchange pair for the self-join, and a sort-merge join
+    whose output multiplies rows BEFORE the pair aggregation could
+    shrink them. Valid because per-group item sets are small (TPC-H
+    orders hold ≤7 lineitems; any bounded-basket domain): the
+    collect_set array is a few elements, and C(n,2) pair fan-out per
+    group stays trivially bounded, so nothing here is a collect-large-
+    group trap. ``array_sort`` makes the emitted order deterministic
+    (collect_set order is not), and sorting also enforces u < v.
+
+    Caveat: ``collect_set`` drops NULL items, whereas a distinct+
+    self-join would have kept NULL = NULL pairs out anyway (the
+    equi-join never matches NULL) — identical pair sets as long as
+    item is non-null, which every call site's key column guarantees.
+    """
+    sets = df.groupBy(F.col(group).alias("grp")).agg(
+        F.array_sort(F.collect_set(F.col(item))).alias("items")
+    )
+    return pairs_from_item_sets(sets, "items")
+
+
+def pairs_from_item_sets(sets: DataFrame, items_col: str) -> DataFrame:
+    """Explode a sorted-array column into its C(n,2) unordered pairs
+    ``(u < v)`` — the second half of :func:`cooccurrence_pairs`,
+    exposed separately for callers that also need the item sets
+    themselves (per-item supports, basket counts) so one
+    collect_set aggregation feeds every consumer."""
+    a = items_col
+    return sets.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({a}, (x, i) -> "
+                f"transform(slice({a}, i + 2, size({a}) - i - 1), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("_p")
+    ).select("_p.u", "_p.v")
+
+
 def _symmetrize(edges: DataFrame) -> DataFrame:
     return edges.unionAll(
         edges.select(F.col("a").alias("b"), F.col("b").alias("a")).select("a", "b")

@@ -62,3 +62,35 @@ def materialize_bounded(df: DataFrame) -> DataFrame:
     """
     df.unpersist()
     return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def persist_hot(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Lazy, partitioning-preserving cut for an ITERATIVE query's hot
+    table (graph edges/nodes), with the same stale-entry eviction as
+    :func:`materialize_bounded`.
+
+    Why not ``localCheckpoint`` (the previous pattern here): under AQE
+    the checkpoint materializes at BUILD time (each one a synchronous
+    barrier — three of them serialized a fixed-point loop), and the
+    checkpointed RDD hides the frame's hash partitioning behind an
+    ``ExistingRDD``, so every loop iteration re-exchanged a table that
+    was already partitioned on the join key. A persisted
+    ``InMemoryRelation`` keeps ``outputPartitioning`` visible (AQE does
+    not re-partition cached plans —
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` is
+    false by default), so a loop joining on the partitioning key runs
+    exchange-free, and DataFrame cache blocks are compressed columnar
+    batches, not the deserialized row objects that OOMed the 64x
+    smoke's RDD checkpoints (pass ``DISK_ONLY`` above the big-graph
+    threshold anyway — zero storage heap, lineage kept for recovery).
+
+    Unlike :func:`materialize_bounded` the cached frame may be
+    corpus-sized; the unpersist-first bounds session retention to ONE
+    build's working set per query (a rebuild evicts the previous
+    entries), which replaces the ContextCleaner-driven GC the RDD
+    checkpoints relied on.
+    """
+    df.unpersist()
+    return df.persist(level)

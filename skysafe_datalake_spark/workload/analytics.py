@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from skysafe_datalake_spark.plans.materialize import materialize_bounded
+from skysafe_datalake_spark.operators.graph import (
+    cooccurrence_pairs,
+    pairs_from_item_sets,
+)
+from skysafe_datalake_spark.plans.materialize import materialize_bounded, persist_hot
 from skysafe_datalake_spark.workload.registry import register
 from skysafe_datalake_spark.workload.relational import dsum, dsum_sql
 from skysafe_datalake_spark.workload.tables import EVENTS_SQL, load, pround
@@ -584,13 +588,25 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are associative, so the result is bit-identical on any
     cluster layout AND against the oracle's unrolled-CTE twin.
 
-    Scale shape: per iteration one equi-join (edges ⋈ ranks, both
-    keyed on node — co-partitionable, zero extra exchange when the
-    edge table is bucketed by src) and one map-side-combined SUM by
-    dst; lineage is cut with localCheckpoint every 3 rounds so plan
-    complexity stays constant over arbitrarily many iterations
-    (same discipline as operators/graph.py connected components)."""
+    Scale shape: per iteration one equi-join (edges ⋈ ranks) and one
+    map-side-combined SUM by dst. The loop-invariant tables are LAZY
+    partitioning-preserving persists (plans/materialize.persist_hot):
+    the deg fold leaves edges hash-partitioned on src and nodes'
+    distinct leaves it hash-partitioned on node, the cache keeps both
+    partitionings visible, and each iteration's rank output is itself
+    partitioned on node — so the only exchange per iteration is the
+    contribution SUM's, the one the algorithm fundamentally requires.
+    The previous per-3-rounds localCheckpoint cuts are gone: under AQE
+    each one was a synchronous build-time barrier whose ExistingRDD
+    also hid the partitioning (re-exchanging edges AND nodes every
+    segment) — measured 2.1x slower than the single fused 8-iteration
+    plan at sf0.1 (7.7 s -> 3.7 s, interleaved A/B). _PR_ITERS is a
+    fixed 8, so the unrolled plan is bounded by construction; if the
+    iteration count ever becomes data-dependent, reintroduce a
+    persist_hot cut every ~10 rounds to bound analysis cost."""
     from pyspark.storagelevel import StorageLevel
+
+    from skysafe_datalake_spark.plans.materialize import persist_hot
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -602,20 +618,15 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Edge-scale checkpoint level is sized to the data (the same
-    # adaptive pattern as LSH auto-salting and stateful shuffle
-    # sizing): the default deserialized MEMORY_AND_DISK level holds
-    # every edge row as a live heap object for the life of the query,
-    # and back-to-back runs overlap before the ContextCleaner frees
-    # the old blocks — the 64x scale smoke (75M edges, ~2 GB+ per
-    # checkpoint set) OOMed a 16 GB JVM on exactly that accumulation.
-    # Above ~5M lineitem rows the checkpoints go DISK_ONLY (zero
-    # storage heap; blocks ride the OS page cache locally, and disk
-    # is the standard big-edge-table level on a cluster); below, the
-    # default level keeps the bench-scale disk round-trip off the
-    # hot path. The deciding count() is metadata-fast on parquet.
-    # The slim PAIRS table (2 cols, half the edge rows) is what gets
-    # checkpointed pre-fold.
+    # Cache level is sized to the data (the same adaptive pattern as
+    # LSH auto-salting and stateful shuffle sizing). DataFrame persist
+    # stores compressed columnar batches — far smaller than the
+    # deserialized row objects the old RDD checkpoints held (those
+    # OOMed the 64x smoke's 16 GB JVM at 75M edges) — but above ~5M
+    # lineitem rows the caches still go DISK_ONLY: zero storage heap,
+    # blocks ride the OS page cache locally, and lineage is kept so a
+    # lost block recomputes. The deciding count() is metadata-fast on
+    # parquet.
     n_li = li.count()
     big_graph = n_li > 5_000_000
     # Decision record + stderr note: the branch only triggers above
@@ -632,21 +643,27 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         print(
             f"# pagerank_integer: {n_li:,} lineitem rows > 5,000,000 — "
-            "DISK_ONLY checkpoint level engaged",
+            "DISK_ONLY cache level engaged",
             file=sys.stderr,
         )
-    lvl = {"storageLevel": StorageLevel.DISK_ONLY} if big_graph else {}
-    pairs = pairs.localCheckpoint(eager=False, **lvl)
+    lvl = StorageLevel.DISK_ONLY if big_graph else StorageLevel.MEMORY_AND_DISK
+    # The slim PAIRS table (2 cols, half the edge rows) is cut first so
+    # the union's two branches compute it once.
+    pairs = persist_hot(pairs, lvl)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # distinct partitions nodes by node; the cache preserves that.
+    nodes = persist_hot(edges.select(F.col("src").alias("node")).distinct(), lvl)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # outdeg is loop-invariant: fold it into the edge table ONCE so
     # each iteration runs a single equi-join (edges ⋈ ranks) instead
     # of re-joining deg every round (8 joins saved over 8 iterations).
-    edges = edges.join(deg, "src").select("src", "dst", "outdeg")
-    edges = edges.localCheckpoint(eager=False, **lvl)
+    # The fold's join output is hash-partitioned on src — exactly the
+    # in-loop join requirement — and the cache preserves it.
+    edges = persist_hot(
+        edges.join(deg, "src").select("src", "dst", "outdeg"), lvl
+    )
 
     n_nodes = nodes.count()
     base = _PR_TOTAL // n_nodes
@@ -671,8 +688,6 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-        if i % 3 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
 
     return ranks.select("node", F.col("r").alias("rank_ppb"))
 
@@ -746,13 +761,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-partitionable, no driver state. Pure integer/equi-join
     plan, so the oracle's unrolled twin is bit-identical."""
     li = load(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
+    # Edge generation via operators.graph.cooccurrence_pairs: ONE
+    # groupBy(orderkey) collect_set + array-native pair explode
+    # replaces the old distinct + self-join-on-orderkey + re-agg
+    # (3 corpus-scale exchanges and a sort-merge join whose output
+    # multiplied rows before aggregation could shrink them). Valid
+    # because orders hold ≤7 lineitems — see the operator docstring.
+    co = cooccurrence_pairs(
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")),
+        "ok",
+        "s",
+    )
     raw_edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
-        .groupBy(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        co.groupBy("u", "v")
         .agg(F.count("*").alias("w"))
         .orderBy(F.desc("w"), "u", "v")
         .limit(_TRI_BACKBONE)
@@ -1226,20 +1247,35 @@ def frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Support counts are exact integers; confidence/lift are single
     fixed IEEE divisions quantized to 1e-6 — deterministic."""
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"),
-        (F.col("l_partkey") % 50).alias("item"),
-    ).distinct()
-    item_support = baskets.groupBy("item").agg(
-        F.count("*").cast("bigint").alias("s_item")
+    # One groupBy(orderkey) collect_set feeds EVERY consumer (item
+    # supports, basket count, pair generation) — the array-native
+    # rewrite of the old distinct + basket self-join + re-agg (see
+    # operators.graph.cooccurrence_pairs; baskets hold ≤7 lineitems
+    # so the folded item sets are tiny). The old shape cost a
+    # corpus-scale distinct exchange, a self-join re-shuffle pair, and
+    # a sort-merge join that multiplied rows before the pair agg could
+    # shrink them; now the only corpus-scale exchange is the
+    # collect_set's, and Spark's exchange reuse shares it across the
+    # three consumers of `sets`.
+    sets = (
+        li.select(
+            F.col("l_orderkey").alias("ok"),
+            (F.col("l_partkey") % 50).alias("item"),
+        )
+        .groupBy("ok")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
     )
-    n_baskets = baskets.agg(
-        F.countDistinct("ok").cast("bigint").alias("n")
+    item_support = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("s_item"))
     )
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # one row per basket by construction, so count(*) == the old
+    # countDistinct(ok).
+    n_baskets = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     pair_all = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        pairs_from_item_sets(sets, "items")
+        .groupBy(F.col("u").alias("item_a"), F.col("v").alias("item_b"))
         .agg(F.count("*").cast("bigint").alias("s_pair"))
     )
     pair_stats = pair_all.agg(
@@ -1551,20 +1587,30 @@ def bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalization is pagerank_integer's checkpoint-every-3-rounds
     pattern."""
     li = load(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("node")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
+    # Edge generation via operators.graph.cooccurrence_pairs (one
+    # groupBy(orderkey) collect_set + array-native pair explode
+    # instead of distinct + self-join + re-agg — see graph_triangles).
+    co = cooccurrence_pairs(
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("node")),
+        "ok",
+        "node",
+    )
     edges = (
-        a.join(
-            b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.node") < F.col("b.node"))
-        )
-        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        co.groupBy("u", "v")
         .agg(F.count("*").alias("w"))
         .orderBy(F.desc("w"), "u", "v")
         .limit(_BFS_BACKBONE)
         .select("u", "v")
     )
+    # The backbone and per-hop frontier cuts stay eager
+    # localCheckpoints DELIBERATELY: the r13 A/B (5 interleaved
+    # passes, sf0.1) measured the materialize_bounded persist variant
+    # 2.3x slower (min 5.42 s vs 2.34 s) — as in kcore_peel, nothing
+    # downstream exploits cached partitioning, and checkpoint blocks
+    # capture the AQE-coalesced partition counts that cached plans
+    # can't (canChangeCachedPlanOutputPartitioning=false). Build-time
+    # materialization under AQE is the accepted cost (the seed pull
+    # right below forces the backbone anyway).
     edges = edges.localCheckpoint()  # cut lineage once; reused 3×
     und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
@@ -2038,18 +2084,31 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round. Scale: everything keys on node id; the keep-list
     semi joins broadcast at any realistic core size."""
     li = load(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    a, b = pairs.alias("a"), pairs.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
+    # Edge generation via operators.graph.cooccurrence_pairs (one
+    # groupBy(orderkey) collect_set + array-native pair explode
+    # instead of distinct + self-join + re-agg — see graph_triangles).
+    co = cooccurrence_pairs(
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")),
+        "ok",
+        "s",
     )
+    edges = co.distinct()
     und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
+    # Loop cuts stay localCheckpoint(eager=False) DELIBERATELY — the
+    # r13 A/B (5 interleaved passes, sf0.1) measured the persist
+    # alternatives 3-5x SLOWER here (ckpt 1.8-3.3 s vs lazy persists
+    # 7-27 s vs no cuts 6-19 s): unlike pagerank's equi-join loop,
+    # nothing downstream exploits a cached table's hash partitioning
+    # (the keep-list joins broadcast), so persist's only effect is
+    # materializing each round as an InMemoryRelation whose partition
+    # count AQE cannot coalesce
+    # (canChangeCachedPlanOutputPartitioning=false) — the cached
+    # union doubles to 2x200 partitions of tiny data per round while
+    # the checkpoint captures the AQE-coalesced handful. AQE-eager
+    # build-time materialization (see plans/materialize.py) is the
+    # accepted cost of the faster shape.
     und = und.localCheckpoint(eager=False)
     for _ in range(_KCORE_ROUNDS):
         deg = und.groupBy("a").agg(F.count("*").alias("deg"))

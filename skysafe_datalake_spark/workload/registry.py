@@ -60,12 +60,22 @@ from skysafe_datalake_spark.workload import crawl  # noqa: E402,F401
 PLAN_CHANGED_ROUND: dict[str, int] = {
     # r12 localCheckpoint cuts landed after these queries' r11 gate rows;
     # r13 then switched the cuts to lazy persist (plans/materialize.py).
-    "graph_triangles": 12,
+    "graph_triangles": 13,
     "chi2_independence": 12,
     "set_operations": 12,
     # persist switch landed before the r13 gate: its newest row (r12)
     # covers the old localCheckpoint plan.
     "histogram_quantile_sketch": 12,
+    # r13 optimization round: plan reshaped (partitioning-preserving
+    # lazy persists, no mid-loop checkpoint cuts).
+    "pagerank_integer": 13,
+    # r13 optimization round: co-occurrence backbones rewritten to the
+    # single-shuffle collect_set pair generation
+    # (operators.graph.cooccurrence_pairs); graph_triangles above got
+    # the same rewrite on top of its r12 persist switch.
+    "bfs_khop_reach": 13,
+    "kcore_peel": 13,
+    "frequent_itempairs": 13,
 }
 
 

@@ -347,13 +347,19 @@ def test_graph_triangles_backbone_is_topk(spark):
     22 lineitem scans / 12 TakeOrdereds). r13: the cut is a lazy
     persist (InMemoryRelation), not a localCheckpoint — under AQE the
     checkpoint ran the backbone at query-BUILD time (see
-    plans/materialize.py); the build subtree's 2 lineitem scans are
-    now visible in the plan but execute once, on first action."""
+    plans/materialize.py); the build subtree's lineitem scan is
+    now visible in the plan but executes once, on first action.
+    r13 optimization: the backbone edge generation is
+    operators.graph.cooccurrence_pairs (one groupBy(orderkey)
+    collect_set + array-native pair explode), so the build subtree
+    scans lineitem ONCE — the old distinct + self-join formulation
+    scanned it twice (once per join side) and paid two extra
+    corpus-scale exchanges."""
     plan = plan_of(spark, "graph_triangles")
     assert "TakeOrderedAndProject" in plan
     assert "InMemoryRelation" in plan
     assert "ExistingRDD" not in plan
-    assert _parquet_scans(plan) == 2
+    assert _parquet_scans(plan) == 1
 
 
 def _parquet_scans(plan: str) -> int:
