@@ -658,10 +658,17 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot see through."""
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    build = (
-        orders.where(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_custkey")
-        .distinct()
+    # No `.distinct()` on the build side (r13): both consumers are
+    # dedup-insensitive — bit_or is idempotent, and left_semi
+    # matches at-most-once per probe row regardless of build-side
+    # duplicates — so the distinct was a pure corpus-scale exchange,
+    # paid TWICE (the bitmap collect is its own job; exchange reuse
+    # does not span jobs). Dropping it makes the bitmap build
+    # exchange-free up to the ≤1024-word partial bit_or. A/B at
+    # sf0.1: 3.36 -> 3.06 s min-of-5, faster on every aligned pass,
+    # result identical.
+    build = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
     )
     nbits = _BLOOM_WORDS * 64
     pos = build.select(
@@ -686,7 +693,13 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitmap = [0] * _BLOOM_WORDS
     for row in words:
         bitmap[row["w"]] = row["bits"]
-    bm = F.array(*[F.lit(x).cast("bigint") for x in bitmap])
+    # ONE array Literal (r13), not F.array of 1024 per-word literals:
+    # the CreateArray expression tree put 1024 nodes through
+    # analysis/optimization and rebuilt the array inside codegen,
+    # tripled by the three probe conjuncts — measured 2.6x on the
+    # whole query (3.68 -> 1.39 s min-of-5, identical rows). A plain
+    # Literal of ArrayType is a single constant reference.
+    bm = F.lit([int(x) for x in bitmap])
 
     def probe_hit(salt: int) -> F.Column:
         p = F.pmod(F.xxhash64(F.col("c_custkey"), F.lit(salt)), nbits)
@@ -1069,6 +1082,11 @@ def recursive_cte_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_seq = seq.count()
     saved_limit = spark.conf.get("spark.sql.cteRecursionRowLimit")
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, 2 * n_seq)))
+    # Final last-row-per-cust pick is a window over the recursion
+    # output (r13) — the oracle's MAX(rn) self-join form referenced
+    # `walk` TWICE, and the engine re-evaluates a recursive CTE per
+    # reference; the window touches the 12x|customers| result once.
+    # A/B at sf0.1: 2.69 -> 2.46 s min-of-5, identical rows.
     try:
         return spark.sql(
         """
@@ -1081,10 +1099,10 @@ WITH RECURSIVE walk AS (
   JOIN rcte_seq s ON s.cust = w.cust AND s.rn = w.rn + 1
   WHERE w.rn < 12
 )
-SELECT w.cust, w.rn AS n_orders, w.bal AS final_bal
-FROM walk w
-JOIN (SELECT cust, MAX(rn) AS mrn FROM walk GROUP BY cust) m
-  ON m.cust = w.cust AND m.mrn = w.rn
+SELECT cust, rn AS n_orders, bal AS final_bal FROM (
+  SELECT w.*, row_number() OVER (PARTITION BY cust ORDER BY rn DESC) AS rk
+  FROM walk w
+) WHERE rk = 1
 """
         ).localCheckpoint(eager=True)
     finally:

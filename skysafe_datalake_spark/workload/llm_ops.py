@@ -950,11 +950,24 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat_ws(' ', slice(ts, i, 5)))"
             )
         ).alias("gram"),
-    ).distinct()
+    )
     is_eval = F.col("doc_id") % 17 == 0
+    # collect_SET does the per-doc gram dedup inside the one index
+    # aggregation (map-side partial sets), replacing the old separate
+    # corpus-wide `.distinct()` — that was a SECOND corpus-scale
+    # exchange of every (doc_id, gram) pair feeding this one (guide
+    # §2.4/§2.3: the dedup and the index grouping share one shuffle).
+    # r13 A/B at sf0.1: wall neutral (1.74 -> 1.89 s min-of-5, within
+    # pass noise); the win is one corpus exchange + one stage barrier
+    # fewer, which is what scales. Two rejected variants measured and
+    # documented in OPTIMIZATION_r13.md: per-row array_distinct
+    # (+0.3 s — quadratic-ish on long string arrays) and deriving
+    # eval_n from the un-exchanged gram arrays (2.7x SLOWER — it
+    # duplicated the tokenize subtree, which exchange reuse no longer
+    # collapsed).
     index = grams.groupBy("gram").agg(
-        F.collect_list(F.when(is_eval, F.col("doc_id"))).alias("eval_ids"),
-        F.collect_list(F.when(~is_eval, F.col("doc_id"))).alias("corpus_ids"),
+        F.collect_set(F.when(is_eval, F.col("doc_id"))).alias("eval_ids"),
+        F.collect_set(F.when(~is_eval, F.col("doc_id"))).alias("corpus_ids"),
     )
     # per-eval-doc denominator, derived from the (vocab-sized) index
     eval_n = (

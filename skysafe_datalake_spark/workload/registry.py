@@ -76,6 +76,17 @@ PLAN_CHANGED_ROUND: dict[str, int] = {
     "bfs_khop_reach": 13,
     "kcore_peel": 13,
     "frequent_itempairs": 13,
+    # r13 optimization round, batch 2: dedup folded into the index
+    # aggregation (contamination), window final over the recursion
+    # (rcte), build-side distinct dropped + one-literal bitmap
+    # (bloom), one-literal hyperplanes (LSH pair), Arrow snapshot
+    # collect (e2e).
+    "contamination_ngram_overlap": 13,
+    "recursive_cte_walk": 13,
+    "bloom_semi_prune": 13,
+    "ann_lsh_topk": 13,
+    "similarity_topk": 13,
+    "batch_pipeline_e2e": 13,
 }
 
 
