@@ -87,6 +87,9 @@ PLAN_CHANGED_ROUND: dict[str, int] = {
     "ann_lsh_topk": 13,
     "similarity_topk": 13,
     "batch_pipeline_e2e": 13,
+    # r13 optimization round, batch 3: greedy MMR rounds moved to the
+    # driver over the bounded candidate set.
+    "mmr_diversity_rerank": 13,
 }
 
 
