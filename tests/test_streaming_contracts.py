@@ -293,6 +293,14 @@ def test_streaming_inventory_is_pinned():
             "sinks": ["parquet"],
             "stateful": True,
         },
+        (
+            "skysafe_datalake_spark/workload/pipeline.py",
+            "_replay_side_stream",
+        ): {
+            "sinks": [],  # plan fragment: reads one staged replay side;
+            # the three interval-join queries own sink + sizing
+            "stateful": False,
+        },
         ("skysafe_datalake_spark/workload/pipeline.py", "streaming_interval_join"): {
             "sinks": ["parquet"],
             "stateful": True,
