@@ -1219,17 +1219,49 @@ def multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     splittable by line), the union is free (no exchange), and only
     the final hash agg shuffles."""
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     orders = load(spark, sf_dir, "orders")
     tmp = tempfile.mkdtemp(prefix=f"skysafe_mfu_{uuid.uuid4().hex[:6]}_")
     try:
-        orders.where(F.col("o_orderkey") % 3 == 0).write.parquet(f"{tmp}/pq")
-        orders.where(F.col("o_orderkey") % 3 == 1).write.json(f"{tmp}/js")
-        orders.where(F.col("o_orderkey") % 3 == 2).write.option(
-            "header", True
-        ).option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(f"{tmp}/cs")
+        # The three format legs are independent jobs over disjoint
+        # thirds — submit them concurrently so each job's task tail
+        # back-fills the others (guide §2.6); job descriptions and
+        # scheduling are thread-local, results land in the same dirs.
+        def _stage(spec):
+            k, write = spec
+            write(orders.where(F.col("o_orderkey") % 3 == k))
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(
+                pool.map(
+                    _stage,
+                    [
+                        (0, lambda d: d.write.parquet(f"{tmp}/pq")),
+                        (1, lambda d: d.write.json(f"{tmp}/js")),
+                        (
+                            2,
+                            lambda d: d.write.option("header", True)
+                            .option(
+                                "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+                            )
+                            .csv(f"{tmp}/cs"),
+                        ),
+                    ],
+                )
+            )
         pq = spark.read.parquet(f"{tmp}/pq")
-        js = spark.read.json(f"{tmp}/js").select(
+        # Explicit schema — what JSON lines actually carry (ints,
+        # doubles, ISO-string timestamps): schema INFERENCE would be a
+        # second full read of the leg just to discover this. The
+        # text-format footgun being pinned (timestamps arrive as
+        # strings) is unchanged — the to_timestamp cast below is still
+        # what reconciles the leg.
+        js_schema = (
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string"
+        )
+        js = spark.read.schema(js_schema).json(f"{tmp}/js").select(
             "o_orderkey",
             "o_custkey",
             "o_orderstatus",

@@ -90,6 +90,20 @@ PLAN_CHANGED_ROUND: dict[str, int] = {
     # r13 optimization round, batch 3: greedy MMR rounds moved to the
     # driver over the bounded candidate set.
     "mmr_diversity_rerank": 13,
+    # r13 optimization round, batch 4: stream-stream replay staging
+    # rewritten to one partitionBy pass + Observation metrics +
+    # pyarrow sentinel (job-level change; returned plans are the
+    # checkpoint-truncated result scans, but the computing code is
+    # new so the gate should re-sample them).
+    "streaming_left_outer_join": 13,
+    "streaming_full_outer_join": 13,
+    "streaming_interval_join": 13,
+    # r13: concurrent format-leg writes + explicit JSON read schema.
+    "multi_format_union": 13,
+    # r13: Q11/Q18 Spark-side one-pass restructurings (oracle SQL
+    # unchanged; see workload/tpch.py equivalence comments).
+    "tpch_q11_like": 13,
+    "tpch_q18_like": 13,
 }
 
 

@@ -9,7 +9,11 @@ hash joins (Q21/Q22), IN-subquery over a HAVING aggregate (Q18),
 outer-join count distributions (Q13), aggregate-equals-scalar-max
 (Q15), and nested IN with a group-key-correlated HAVING (Q20). Each query runs the SAME SQL
 text through spark.sql and the DuckDB oracle, so the driver gate
-verifies both the operator semantics and the SQL front-end.
+verifies both the operator semantics and the SQL front-end — with
+two r13 exceptions: Q11 and Q18 keep their oracle SQL verbatim but
+Spark executes a provably-identical one-pass restructuring (see
+_Q11_SPARK_SQL/_Q18_SPARK_SQL for the equivalence arguments; the
+gate re-verifies both row-for-row).
 
 Cross-engine determinism: fractional aggregates go through
 DECIMAL sums (associative, partition-order-invariant) per the
@@ -114,18 +118,53 @@ GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
 """
 
 
+# Spark-side one-pass form (r13 optimization; the registered oracle
+# SQL above is unchanged and DuckDB still runs the IN-over-HAVING
+# text). The original shape pays lineitem twice: the IN subquery
+# aggregates it per orderkey, then the semi-joined outer join scans
+# it AGAIN and re-aggregates the same per-order quantity sum. But
+# the outer GROUP BY includes o_orderkey, and orders/customer join
+# 1:1 per line, so every output group is exactly the line set of one
+# order — the outer SUM is bit-for-bit the inner one (same decimal
+# sum over the same rows, same final cast). Computing the per-order
+# aggregate ONCE and joining it through orders→customer is therefore
+# identical row-for-row, and does one lineitem pass instead of two
+# (guide §1.2). The >180.0 filter compares the same casted double as
+# the original HAVING.
+_Q18_SPARK_SQL = f"""
+WITH order_qty AS (
+  SELECT l_orderkey,
+         {dsum_sql('l_quantity')} AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT c.c_name,
+       o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS total_cents,
+       q.sum_qty
+FROM order_qty q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE q.sum_qty > 180.0
+"""
+
+
 @register("tpch_q18_like", _Q18_SQL)
 def tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): IN-subquery whose
-    inner query is itself a grouped HAVING aggregate. Catalyst plans
-    the IN as a left-semi hash join against the aggregated subquery —
-    no materialized ID list on the driver. The quantity threshold
-    compares a decimal-summed double against a constant, so the
-    qualifying-order set is identical across engines. Scale: the
-    inner agg and the outer join both key on l_orderkey/o_orderkey —
-    one shuffle each, co-partitionable under bucketing."""
+    inner query is itself a grouped HAVING aggregate; the oracle runs
+    that text verbatim, pinning the semantics. Spark executes the
+    one-pass form above (see _Q18_SPARK_SQL comment for the
+    equivalence argument): the per-order quantity aggregate is
+    computed once and carried through the orders/customer joins
+    instead of being recomputed by the decorrelated semi join + outer
+    re-aggregation. The quantity threshold compares a decimal-summed
+    double against a constant, so the qualifying-order set is
+    identical across engines. Scale: ONE lineitem shuffle on
+    l_orderkey; the filtered per-order aggregate is small enough to
+    broadcast into the orders join."""
     _views(spark, sf_dir, "customer", "orders", "lineitem")
-    return spark.sql(_Q18_SQL)
+    return spark.sql(_Q18_SPARK_SQL)
 
 
 # ───────────────────────── Q21: EXISTS + NOT EXISTS ──────────────
@@ -570,6 +609,48 @@ ORDER BY value DESC, l_partkey
 """
 
 
+# Spark-side one-pass form (r13 optimization; the registered oracle
+# SQL above is unchanged). The original text pays lineitem twice:
+# once for the per-partkey aggregate and once for the scalar
+# subquery's global sum + COUNT(DISTINCT l_partkey) (itself another
+# partkey-keyed exchange). Both are derivable EXACTLY from the
+# per-key decimal partials: decimal addition is exact and
+# associative, so SUM(dec_value) over the groups equals the direct
+# DECIMAL sum over all rows to the last digit (same value → same
+# double after the one final cast), and COUNT(*) over the groups
+# equals COUNT(DISTINCT l_partkey) because l_partkey is never null.
+# The threshold arithmetic keeps the original shape and order
+# (1.5 * total) / n in doubles, so the comparison is bit-identical.
+# What this buys (guide §2.4): the old scalar subquery planned
+# SUM(expr) + COUNT(DISTINCT l_partkey) as a two-phase distinct
+# aggregate — an Expand doubling every row through its partkey
+# exchange; the new scalar side is a plain per-key agg + a single-row
+# fold. (Measured: AQE's stage cache does NOT reuse the partkey
+# exchange across the subquery boundary, so both sides still scan the
+# 3-column pruned lineitem — the win is the removed Expand + second
+# distinct-shuffle, 1.59 → 1.07 s min-of-5 at sf0.1. The
+# crossJoin-a-1-row-agg form that makes reuse possible in one plan
+# tree measured SLOWER — 1.16 vs 1.02 s — the BNLJ overhead eats the
+# saved scan at this SF; documented here so the next round doesn't
+# re-derive it.)
+_Q11_SPARK_SQL = """
+WITH part_value_dec AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+           AS dec_value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(dec_value AS DOUBLE) AS value
+FROM part_value_dec
+WHERE CAST(dec_value AS DOUBLE) > (
+  SELECT 1.5 * CAST(SUM(dec_value) AS DOUBLE) / COUNT(*)
+  FROM part_value_dec
+)
+ORDER BY value DESC, l_partkey
+"""
+
+
 @register("tpch_q11_like", _Q11_SQL)
 def tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): per-key
@@ -579,15 +660,19 @@ def tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the missing partsupp stock value, and the threshold is
     relative to the per-part average because an absolute fraction of
     the total — the reference's 0.0001/SF — empties out as the part
-    count grows with scale). Both sides of the comparison are
-    decimal-summed doubles; the scaling and compare are single double
-    ops — boundary-exact. Catalyst evaluates the scalar
-    subquery once as a 1-row broadcast. Scale: two scans of lineitem
-    (per-part agg + global agg — AQE reuses the shuffle if staged),
-    one shuffle on partkey; the global agg is map-side-combined to a
-    single row per partition."""
+    count grows with scale); the oracle runs that text verbatim.
+    Spark executes the restructured form above (see _Q11_SPARK_SQL
+    comment for the exactness argument): the global sum and distinct
+    part count are folded over the per-key DECIMAL partials instead
+    of COUNT(DISTINCT)'s expand-and-reshuffle. Both sides of the
+    comparison are decimal-summed doubles; the scaling and compare
+    are single double ops — boundary-exact. Catalyst still evaluates
+    the scalar subquery once as a 1-row broadcast. Scale: two pruned
+    3-column scans of lineitem (cross-subquery stage reuse measured
+    not to fire), one partkey exchange each — but no Expand row
+    doubling; the per-key aggs are map-side-combined."""
     _views(spark, sf_dir, "lineitem")
-    return spark.sql(_Q11_SQL)
+    return spark.sql(_Q11_SPARK_SQL)
 
 
 # ───────────────────────── Q12: priority class counts ────────────
