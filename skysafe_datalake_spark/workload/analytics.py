@@ -603,7 +603,24 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan at sf0.1 (7.7 s -> 3.7 s, interleaved A/B). _PR_ITERS is a
     fixed 8, so the unrolled plan is bounded by construction; if the
     iteration count ever becomes data-dependent, reintroduce a
-    persist_hot cut every ~10 rounds to bound analysis cost."""
+    persist_hot cut every ~10 rounds to bound analysis cost.
+
+    Session hygiene (r13 full-sweep lesson): the result is
+    materialized eagerly HERE and the three hot caches are
+    unpersisted before returning. The first r13 version returned the
+    lazy 8-iteration plan and left pairs/nodes/edges persisted;
+    rebuilding the query in a long-lived session (a bench sweep, a
+    repeated service call) then interacted with the previous build's
+    stale entries — measured walls GREW monotonically per rebuild
+    (8.2 -> 14.5 -> 18.4 s across three rebuilds in one polluted
+    session, identical executed plans, vs 3.7 s isolated; the r13
+    sweep recorded passes [22.9, 57.4, 42.0] where r12's
+    checkpointed shape read a stable 5.1 s). Eager-materialize +
+    unpersist makes every build self-contained: compute once in the
+    builder off the live caches, free them, hand consumers the
+    bounded |nodes|-row result. The checkpoint holds only RESULT
+    rows; the expensive intermediates keep lineage while live
+    (ADVICE-r12 recovery note)."""
     from pyspark.storagelevel import StorageLevel
 
     from skysafe_datalake_spark.plans.materialize import persist_hot
@@ -650,46 +667,63 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The slim PAIRS table (2 cols, half the edge rows) is cut first so
     # the union's two branches compute it once.
     pairs = persist_hot(pairs, lvl)
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    # distinct partitions nodes by node; the cache preserves that.
-    nodes = persist_hot(edges.select(F.col("src").alias("node")).distinct(), lvl)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # outdeg is loop-invariant: fold it into the edge table ONCE so
-    # each iteration runs a single equi-join (edges ⋈ ranks) instead
-    # of re-joining deg every round (8 joins saved over 8 iterations).
-    # The fold's join output is hash-partitioned on src — exactly the
-    # in-loop join requirement — and the cache preserves it.
-    edges = persist_hot(
-        edges.join(deg, "src").select("src", "dst", "outdeg"), lvl
-    )
-
-    n_nodes = nodes.count()
-    base = _PR_TOTAL // n_nodes
-    ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
-
-    for i in range(1, _PR_ITERS + 1):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .select(
-                F.col("dst"),
-                F.expr("r div outdeg").alias("c"),
-            )
+    nodes = edges = None
+    try:
+        edges = pairs.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("sum_in"))
-        ranks = (
-            nodes.join(sums, nodes["node"] == sums["dst"], "left")
-            .select(
-                "node",
-                F.expr(
-                    f"(15 * cast({base} as bigint)"
-                    " + 85 * coalesce(sum_in, cast(0 as bigint))) div 100"
-                ).alias("r"),
-            )
+        # distinct partitions nodes by node; the cache preserves that.
+        nodes = persist_hot(
+            edges.select(F.col("src").alias("node")).distinct(), lvl
+        )
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # outdeg is loop-invariant: fold it into the edge table ONCE so
+        # each iteration runs a single equi-join (edges ⋈ ranks) instead
+        # of re-joining deg every round (8 joins saved over 8 iterations).
+        # The fold's join output is hash-partitioned on src — exactly the
+        # in-loop join requirement — and the cache preserves it.
+        edges = persist_hot(
+            edges.join(deg, "src").select("src", "dst", "outdeg"), lvl
         )
 
-    return ranks.select("node", F.col("r").alias("rank_ppb"))
+        n_nodes = nodes.count()
+        base = _PR_TOTAL // n_nodes
+        ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
+
+        for i in range(1, _PR_ITERS + 1):
+            contrib = (
+                edges.join(ranks, edges["src"] == ranks["node"])
+                .select(
+                    F.col("dst"),
+                    F.expr("r div outdeg").alias("c"),
+                )
+            )
+            sums = contrib.groupBy("dst").agg(F.sum("c").alias("sum_in"))
+            ranks = (
+                nodes.join(sums, nodes["node"] == sums["dst"], "left")
+                .select(
+                    "node",
+                    F.expr(
+                        f"(15 * cast({base} as bigint)"
+                        " + 85 * coalesce(sum_in, cast(0 as bigint))) div 100"
+                    ).alias("r"),
+                )
+            )
+
+        # Eager cut: compute the bounded |nodes|-row result off the
+        # live caches NOW, so the finally can free them (see docstring
+        # "Session hygiene").
+        return ranks.select(
+            "node", F.col("r").alias("rank_ppb")
+        ).localCheckpoint(eager=True)
+    finally:
+        # Free the hot caches: every build is self-contained; nothing
+        # canonical-matches a later rebuild.
+        for cached in (edges, nodes, pairs):
+            if cached is not None:
+                cached.unpersist()
 
 
 # ─────────────────── triangle counting (degree-oriented) ─────────
