@@ -227,3 +227,28 @@ def test_pagerank_checkpoint_level_decision_recorded(spark):
     assert LAST_PAGERANK_CHECKPOINT["lineitem_rows"] == n
     assert n <= 5_000_000
     assert LAST_PAGERANK_CHECKPOINT["level"] == "default"
+
+
+def test_pagerank_leaves_no_session_cache_residue(spark):
+    """Session-hygiene pin for the r13 fix: pagerank's builder must
+    materialize its result off the hot caches and UNPERSIST them
+    before returning. The first r13 version left pairs/nodes/edges
+    persisted; rebuilding the query in a long-lived session then
+    interacted with the stale entries and walls grew monotonically
+    per rebuild (full-sweep passes 22.9/57.4/42.0 s vs 3.7 s
+    isolated). A leaked entry here would also silently serve a later
+    build's canonically-equal subtree from stale blocks — the
+    cross-run caching the bench rules forbid."""
+    from tests.conftest import SF_SMALL
+
+    from skysafe_datalake_spark.workload import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["pagerank_integer"](spark, SF_SMALL)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), (
+        "pagerank_integer left persisted entries in the session cache"
+    )
+    # The returned frame must still be fully consumable after the
+    # builder freed its intermediates (result was cut eagerly).
+    assert df.count() > 0
