@@ -588,20 +588,32 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are associative, so the result is bit-identical on any
     cluster layout AND against the oracle's unrolled-CTE twin.
 
-    Scale shape: per iteration one equi-join (edges ⋈ ranks) and one
-    map-side-combined SUM by dst. The loop-invariant tables are LAZY
-    partitioning-preserving persists (plans/materialize.persist_hot):
-    the deg fold leaves edges hash-partitioned on src and nodes'
-    distinct leaves it hash-partitioned on node, the cache keeps both
-    partitionings visible, and each iteration's rank output is itself
-    partitioned on node — so the only exchange per iteration is the
-    contribution SUM's, the one the algorithm fundamentally requires.
-    The previous per-3-rounds localCheckpoint cuts are gone: under AQE
-    each one was a synchronous build-time barrier whose ExistingRDD
-    also hid the partitioning (re-exchanging edges AND nodes every
-    segment) — measured 2.1x slower than the single fused 8-iteration
-    plan at sf0.1 (7.7 s -> 3.7 s, interleaved A/B). _PR_ITERS is a
-    fixed 8, so the unrolled plan is bounded by construction; if the
+    Scale shape (r14): per iteration one equi-join (edges ⋈ ranks) and
+    one map-side-combined SUM by dst — and NOTHING else. Three
+    algebraic cuts over the r13 loop, each valid because the edge
+    table is the SYMMETRIC union of both pair directions (every node
+    appears as src AND as dst of at least one edge):
+    - the per-iteration ``nodes LEFT JOIN sums`` re-attachment is
+      gone: sums' key set is exactly the node set (every node has an
+      in-edge), so the join was 1:1 and COALESCE never fired — the
+      damping projection runs directly on sums (8 SortMergeJoins +
+      their 16 per-iteration sorts of the corpus-scale edge table
+      removed from the fused plan);
+    - iteration 1 is constant-folded: r0 assigns the same ``base`` to
+      every node and every edge's src is a node, so edges ⋈ r0
+      reduces to a projection of the edge table (one more join gone);
+    - the outdeg fold is a COUNT window over src instead of a groupBy
+      + self-join: one exchange (whose output IS the loop's required
+      hash-partitioning on src) replaces two, and the separate
+      ``nodes`` cache disappears — n_nodes is a distinct count that
+      rides the edges cache's partitioning exchange-free.
+    Interleaved A/B at sf0.1 (min-of-5, same session): r13 shape
+    6.72 s -> 3.59 s (1.87x), result md5-identical on every pass. A
+    SHUFFLE_HASH hint on the loop join was measured SLOWER (4.46 s
+    min) — AQE's coalesced SMJ wins at this partition geometry — and
+    rejected. The previous per-3-rounds localCheckpoint cuts stay
+    gone (r13: 2.1x slower than the fused plan). _PR_ITERS is a fixed
+    8, so the unrolled plan is bounded by construction; if the
     iteration count ever becomes data-dependent, reintroduce a
     persist_hot cut every ~10 rounds to bound analysis cost.
 
@@ -667,32 +679,60 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The slim PAIRS table (2 cols, half the edge rows) is cut first so
     # the union's two branches compute it once.
     pairs = persist_hot(pairs, lvl)
-    nodes = edges = None
+    edges = None
     try:
-        edges = pairs.select(
+        raw_edges = pairs.select(
             F.col("c").alias("src"), F.col("s").alias("dst")
         ).unionAll(
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
         )
-        # distinct partitions nodes by node; the cache preserves that.
-        nodes = persist_hot(
-            edges.select(F.col("src").alias("node")).distinct(), lvl
-        )
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        # outdeg is loop-invariant: fold it into the edge table ONCE so
-        # each iteration runs a single equi-join (edges ⋈ ranks) instead
-        # of re-joining deg every round (8 joins saved over 8 iterations).
-        # The fold's join output is hash-partitioned on src — exactly the
-        # in-loop join requirement — and the cache preserves it.
+        # outdeg is loop-invariant: fold it into the edge table ONCE as
+        # a COUNT window over src — the window's single exchange leaves
+        # the cache hash-partitioned on src, exactly the in-loop join
+        # requirement, where the r13 groupBy+join fold paid a second
+        # corpus-scale exchange for the same partitioning (guide §2.4:
+        # two operations keyed the same way share one exchange). The
+        # window's per-partition sort is local work on already-placed
+        # rows — cheaper than the exchange it replaces.
+        w = Window.partitionBy("src")
         edges = persist_hot(
-            edges.join(deg, "src").select("src", "dst", "outdeg"), lvl
+            raw_edges.select(
+                "src", "dst", F.count(F.lit(1)).over(w).alias("outdeg")
+            ),
+            lvl,
         )
 
-        n_nodes = nodes.count()
+        # Distinct node count rides the edges cache's partitioning
+        # (partial + final agg, no exchange); the separate nodes cache
+        # is gone — nothing else needed it (see docstring cuts).
+        n_nodes = (
+            edges.select(F.col("src").alias("node")).distinct().count()
+        )
         base = _PR_TOTAL // n_nodes
-        ranks = nodes.select("node", F.lit(base).cast("long").alias("r"))
 
-        for i in range(1, _PR_ITERS + 1):
+        def _damp(sums: DataFrame) -> DataFrame:
+            # sums' key set == node set (symmetric edges), so the
+            # damping projection applies directly; COALESCE kept for
+            # textual parity with the SQL twin (it can never fire).
+            return sums.select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(15 * cast({base} as bigint)"
+                    " + 85 * coalesce(sum_in, cast(0 as bigint))) div 100"
+                ).alias("r"),
+            )
+
+        # Iteration 1 constant-folded: r0 is `base` for every node and
+        # every edge src is a node, so edges ⋈ r0 is a projection.
+        ranks = _damp(
+            edges.select(
+                "dst",
+                F.expr(f"cast({base} as bigint) div outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sum_in"))
+        )
+        for _i in range(2, _PR_ITERS + 1):
             contrib = (
                 edges.join(ranks, edges["src"] == ranks["node"])
                 .select(
@@ -700,16 +740,8 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("r div outdeg").alias("c"),
                 )
             )
-            sums = contrib.groupBy("dst").agg(F.sum("c").alias("sum_in"))
-            ranks = (
-                nodes.join(sums, nodes["node"] == sums["dst"], "left")
-                .select(
-                    "node",
-                    F.expr(
-                        f"(15 * cast({base} as bigint)"
-                        " + 85 * coalesce(sum_in, cast(0 as bigint))) div 100"
-                    ).alias("r"),
-                )
+            ranks = _damp(
+                contrib.groupBy("dst").agg(F.sum("c").alias("sum_in"))
             )
 
         # Eager cut: compute the bounded |nodes|-row result off the
@@ -721,7 +753,7 @@ def pagerank_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # Free the hot caches: every build is self-contained; nothing
         # canonical-matches a later rebuild.
-        for cached in (edges, nodes, pairs):
+        for cached in (edges, pairs):
             if cached is not None:
                 cached.unpersist()
 
