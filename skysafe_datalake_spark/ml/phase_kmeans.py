@@ -91,16 +91,6 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
     # accumulating blocks in the CacheManager (round-9 review).
     try:
         model = Pipeline(stages=[assembler, scaler, kmeans]).fit(df)
-        # localCheckpoint, not cache(): the label stats, threshold
-        # aggregate, and the caller's final action all reuse the blocks,
-        # and the ContextCleaner frees them once the result frame is
-        # dropped — cache() entries would leak in the CacheManager across
-        # repeated batch runs (streaming foreachBatch). Under AQE the
-        # transform's stages run at this call — fine post-fit, the model
-        # already materialized its training passes.
-        clustered = model.transform(df).drop(
-            "_ml_features_raw", "_ml_features"
-        ).localCheckpoint(eager=False)
 
         centers = model.stages[-1].clusterCenters()
         max_dist = 0.0
@@ -109,10 +99,64 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
                 max_dist = max(max_dist, float(np.linalg.norm(centers[i] - centers[j])))
         used_kmeans = max_dist >= MIN_CENTROID_SEPARATION
 
+        # M6 first, labels second (r14 reorder): the anomaly distance
+        # depends only on the cluster id + features, never on the
+        # phase labels, so transform → centroid join → distance can be
+        # a SINGLE localCheckpoint. The r13 shape checkpointed the
+        # transform, collected label stats, then checkpointed AGAIN
+        # after the distance column — materializing every row twice
+        # (at 100 TB, a second full-corpus write pass for nothing —
+        # guide §5). Outputs verified bit-identical across the
+        # reorder: the broadcast join is 1:1 (every row's cluster id
+        # hits the 3-row table), no repartitioning, so the label and
+        # threshold aggregations see the same rows in the same
+        # partition layout.
+        #
+        # localCheckpoint, not cache(): the label stats, threshold
+        # aggregate, and the caller's final action all reuse the blocks,
+        # and the ContextCleaner frees them once the result frame is
+        # dropped — cache() entries would leak in the CacheManager across
+        # repeated batch runs (streaming foreachBatch). Under AQE the
+        # checkpoint's stages run at this call — fine post-fit, the model
+        # already materialized its training passes.
+        #
+        # Centroid distance via a broadcast 3-row centroid table (same
+        # arithmetic as the reference's literal-embedded when-chains,
+        # src/combine_spark.py:332-362).
+        scaler_model = model.stages[1]
+        means = scaler_model.mean.toArray()
+        stds = scaler_model.std.toArray()
+        centroid_rows = [
+            (int(cid), *[float(x) for x in center]) for cid, center in enumerate(centers)
+        ]
+        centroids = spark.createDataFrame(
+            centroid_rows, "_ml_cluster_id int, c_vel double, c_alt double, c_vr double"
+        )
+
+        # A constant feature has std 0; normalize by 1 so it contributes
+        # zero distance (the reference divides by the raw std and would
+        # blow up on degenerate batches under ANSI SQL).
+        norm = [
+            (F.col(feat) - F.lit(float(means[i]))) / F.lit(float(stds[i]) or 1.0)
+            for i, feat in enumerate(ML_FEATURES)
+        ]
+        dist = F.sqrt(
+            (norm[0] - F.col("c_vel")) * (norm[0] - F.col("c_vel"))
+            + (norm[1] - F.col("c_alt")) * (norm[1] - F.col("c_alt"))
+            + (norm[2] - F.col("c_vr")) * (norm[2] - F.col("c_vr"))
+        )
+        scored = (
+            model.transform(df)
+            .drop("_ml_features_raw", "_ml_features")
+            .join(F.broadcast(centroids), "_ml_cluster_id")
+            .withColumn("_dist_to_centroid", dist)
+            .localCheckpoint(eager=False)
+        )
+
         if used_kmeans:
             # M5: label clusters by ascending avg altitude.
             stats = (
-                clustered.groupBy("_ml_cluster_id")
+                scored.groupBy("_ml_cluster_id")
                 .agg(F.avg("baro_altitude").alias("avg_altitude"))
                 .collect()
             )
@@ -130,12 +174,12 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
                 phase = F.when(F.col("_ml_cluster_id") == cid, F.lit(label)).otherwise(
                     phase
                 )
-            clustered = clustered.withColumn("flight_phase", phase).withColumn(
+            scored = scored.withColumn("flight_phase", phase).withColumn(
                 "flight_phase_id", F.col("_ml_cluster_id").cast("int")
             )
         else:
             # M4 fallback: aeronautical threshold rules.
-            clustered = clustered.withColumn(
+            scored = scored.withColumn(
                 "flight_phase",
                 flight_phase_rules(
                     F.col("baro_altitude"), F.col("velocity"), F.col("vertical_rate")
@@ -143,36 +187,6 @@ def classify_phases(df: DataFrame) -> tuple[DataFrame, PhaseModelInfo]:
             ).withColumn(
                 "flight_phase_id", flight_phase_id(F.col("flight_phase")).cast("int")
             )
-
-        # M6: distance-to-centroid in normalized space via a broadcast
-        # 3-row centroid table (same arithmetic as the reference's
-        # literal-embedded when-chains, src/combine_spark.py:332-362).
-        scaler_model = model.stages[1]
-        means = scaler_model.mean.toArray()
-        stds = scaler_model.std.toArray()
-        centroid_rows = [
-            (int(cid), *[float(x) for x in center]) for cid, center in enumerate(centers)
-        ]
-        centroids = spark.createDataFrame(
-            centroid_rows, "_ml_cluster_id int, c_vel double, c_alt double, c_vr double"
-        )
-        with_centroid = clustered.join(F.broadcast(centroids), "_ml_cluster_id")
-
-        # A constant feature has std 0; normalize by 1 so it contributes
-        # zero distance (the reference divides by the raw std and would
-        # blow up on degenerate batches under ANSI SQL).
-        norm = [
-            (F.col(feat) - F.lit(float(means[i]))) / F.lit(float(stds[i]) or 1.0)
-            for i, feat in enumerate(ML_FEATURES)
-        ]
-        dist = F.sqrt(
-            (norm[0] - F.col("c_vel")) * (norm[0] - F.col("c_vel"))
-            + (norm[1] - F.col("c_alt")) * (norm[1] - F.col("c_alt"))
-            + (norm[2] - F.col("c_vr")) * (norm[2] - F.col("c_vr"))
-        )
-        scored = with_centroid.withColumn("_dist_to_centroid", dist).localCheckpoint(
-            eager=False
-        )
 
         # M7: μ + 2σ dynamic threshold (sample stddev, like the reference).
         st = scored.select(
