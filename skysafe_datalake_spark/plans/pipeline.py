@@ -117,7 +117,20 @@ def run_batch_pipeline(
     weather_points=None,
     with_counts: bool = False,
 ) -> BatchRunResult:
-    """One minute-cadence run of the full DAG, all four layers."""
+    """One minute-cadence run of the full DAG, all four layers.
+
+    The flights and weather legs (extract → format) are independent
+    until combine — the reference DAG draws them as parallel branches
+    — so they run from a 2-thread pool (guide §2.6, the same
+    task-tail back-fill pattern as multi_format_union's leg writes):
+    the weather leg's extract/format jobs fill executor slots the
+    flights leg's task tails leave idle, and its wall hides inside
+    the flights leg's. Stage timers run inside their thread, so each
+    stage still records its own true wall — but the two legs'
+    stage_seconds can now OVERLAP, and their sum may exceed the
+    pipeline wall (bench's `inter_stage_overhead` residual guards
+    against going negative; the e2e test pins the serial spine
+    invariant instead: max(leg) + combine + usage <= total)."""
     stage_seconds: dict[str, float] = {}
 
     def _staged(name: str, fn):
@@ -126,22 +139,36 @@ def run_batch_pipeline(
         stage_seconds[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    raw_f = _staged(
-        "extract_flights",
-        lambda: ingest.extract_flights(spark, catalog, flights_client, ts=ts),
-    )
-    raw_w = _staged(
-        "extract_weather",
-        lambda: ingest.extract_weather(
-            spark, catalog, weather_client, points=weather_points, ts=ts
-        ),
-    )
-    fmt_f = _staged(
-        "format_flights", lambda: format_flights_stage(spark, catalog, ts=ts)
-    )
-    fmt_w = _staged(
-        "format_weather", lambda: format_weather_stage(spark, catalog, ts=ts)
-    )
+    def _flights_leg() -> tuple[str, str]:
+        raw = _staged(
+            "extract_flights",
+            lambda: ingest.extract_flights(spark, catalog, flights_client, ts=ts),
+        )
+        fmt = _staged(
+            "format_flights", lambda: format_flights_stage(spark, catalog, ts=ts)
+        )
+        return raw, fmt
+
+    def _weather_leg() -> tuple[str, str]:
+        raw = _staged(
+            "extract_weather",
+            lambda: ingest.extract_weather(
+                spark, catalog, weather_client, points=weather_points, ts=ts
+            ),
+        )
+        fmt = _staged(
+            "format_weather", lambda: format_weather_stage(spark, catalog, ts=ts)
+        )
+        return raw, fmt
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        flights_fut = pool.submit(_flights_leg)
+        weather_fut = pool.submit(_weather_leg)
+        raw_f, fmt_f = flights_fut.result()
+        raw_w, fmt_w = weather_fut.result()
+
     enr, info = _staged("combine", lambda: combine_stage(spark, catalog, ts=ts))
     usage = _staged("usage", lambda: usage_stage(spark, catalog, ts=ts))
 

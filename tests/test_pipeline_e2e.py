@@ -110,8 +110,12 @@ def test_batch_pipeline_materializes_all_layers(spark, tmp_path):
     total = _time.perf_counter() - t0
 
     # Per-stage wall attribution: every DAG stage records a positive
-    # wall time and the stages account for (almost all of) the call —
-    # the residual is result-object assembly, sub-millisecond.
+    # wall time. Since r14 the flights and weather legs (extract →
+    # format) run concurrently (guide §2.6), so the stage sum may
+    # legitimately EXCEED the wall (overlapped time counts twice);
+    # the serial-spine invariant below replaces the old
+    # `staged <= total` bound. The legs still dominate the wall, so
+    # the 0.95 lower bound stands.
     expected_stages = {
         "extract_flights",
         "extract_weather",
@@ -124,8 +128,15 @@ def test_batch_pipeline_materializes_all_layers(spark, tmp_path):
     assert set(result.stage_seconds) == expected_stages
     assert all(s >= 0 for s in result.stage_seconds.values())
     staged = sum(result.stage_seconds.values())
-    assert staged <= total + 0.01  # per-stage values round to 1 ms
     assert staged >= 0.95 * total
+    # Serial spine: the longest leg plus the sequential tail stages
+    # must fit inside the pipeline wall (a stage timer counting work
+    # outside its thread would break this).
+    s = result.stage_seconds
+    flights_leg = s["extract_flights"] + s["format_flights"]
+    weather_leg = s["extract_weather"] + s["format_weather"]
+    spine = max(flights_leg, weather_leg) + s["combine"] + s["usage"] + s["counts"]
+    assert spine <= total + 0.05
     # bench.py reads the module-level copy for the e2e detail row
     from skysafe_datalake_spark.plans import pipeline as plans_pipeline
 
