@@ -12,6 +12,7 @@ code (`sources.ingest`) — the only thing swapped out is the socket.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 from datetime import datetime, timezone
@@ -753,7 +754,9 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
             q.awaitTermination()
             # Explicit schema on the read-back: a zero-row replay
             # leaves only _spark_metadata under out/ and schema
-            # inference fails.
+            # inference fails; makedirs covers a replay where no
+            # batch fired at all (sink dir absent — ADVICE r13).
+            os.makedirs(f"{tmp}/out", exist_ok=True)
             out = (
                 spark.read.schema(out_schema).parquet(f"{tmp}/out")
                 .groupBy("user_id")
@@ -811,7 +814,7 @@ def _stage_click_purchase_replay(
     to click_id/c_user/c_ts etc. move to the stream-side projection.
     """
     import os
-    from datetime import timedelta
+    from datetime import datetime, timedelta
 
     from pyspark.sql import Observation
 
@@ -846,7 +849,18 @@ def _stage_click_purchase_replay(
         # Any instant past every real match window works (the exact
         # value never reaches the result); +31 days clears the 30-min
         # interval and the 1-hour watermark at any timezone skew.
-        flush = vals["max_ts"] + timedelta(days=31)
+        # NOTE the margin also absorbs a tz subtlety (ADVICE r13):
+        # max_ts arrives as a naive session-local datetime but is
+        # written as tz='UTC', so the sentinel instant can sit up to
+        # one tz offset (±14 h) early/late — never tighten the margin
+        # below that skew plus the watermark + interval bound.
+        # A replay with zero click/purchase rows has no max_ts (and no
+        # real match windows to clear); any fixed instant flushes the
+        # empty state.
+        max_ts = vals["max_ts"]
+        if max_ts is None:
+            max_ts = datetime(2000, 1, 1)
+        flush = max_ts + timedelta(days=31)
         row = pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
@@ -947,7 +961,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
             # Explicit schema: a zero-row replay writes only
-            # _spark_metadata and inference would fail.
+            # _spark_metadata and inference would fail. The makedirs
+            # covers the harder corner (ADVICE r13): zero staged files
+            # fire no batch at all, so the sink dir itself may not
+            # exist.
+            os.makedirs(f"{tmp}/out", exist_ok=True)
             return (
                 spark.read.schema(joined.schema)
                 .parquet(f"{tmp}/out")
@@ -1112,7 +1130,10 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            # Explicit schema guards the zero-row-replay read-back.
+            # Explicit schema guards the zero-row-replay read-back;
+            # makedirs covers a replay where no batch fired at all
+            # (the sink dir would not exist — ADVICE r13).
+            os.makedirs(f"{tmp}/out", exist_ok=True)
             out = (
                 spark.read.schema(joined.schema).parquet(f"{tmp}/out")
                 .where(F.col("click_id") >= 0)
@@ -1368,7 +1389,10 @@ def streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            # Explicit schema guards the zero-row-replay read-back.
+            # Explicit schema guards the zero-row-replay read-back;
+            # makedirs covers a replay where no batch fired at all
+            # (the sink dir would not exist — ADVICE r13).
+            os.makedirs(f"{tmp}/out", exist_ok=True)
             out = spark.read.schema(joined.schema).parquet(
                 f"{tmp}/out"
             ).where(

@@ -161,8 +161,9 @@ def tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation. The quantity threshold compares a decimal-summed
     double against a constant, so the qualifying-order set is
     identical across engines. Scale: ONE lineitem shuffle on
-    l_orderkey; the filtered per-order aggregate is small enough to
-    broadcast into the orders join."""
+    l_orderkey; the orders/customer dimension sides broadcast into
+    the filtered per-order aggregate (the committed plan builds the
+    broadcast from orders — see plans/r13/tpch_q18_like_after.txt)."""
     _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_Q18_SPARK_SQL)
 
@@ -622,10 +623,10 @@ ORDER BY value DESC, l_partkey
 # The threshold arithmetic keeps the original shape and order
 # (1.5 * total) / n in doubles, so the comparison is bit-identical.
 # What this buys (guide §2.4): the old scalar subquery planned
-# SUM(expr) + COUNT(DISTINCT l_partkey) as a two-phase distinct
-# aggregate — an Expand doubling every row through its partkey
-# exchange; the new scalar side is a plain per-key agg + a single-row
-# fold. (Measured: AQE's stage cache does NOT reuse the partkey
+# SUM(expr) + COUNT(DISTINCT l_partkey) as the two-phase distinct
+# HashAggregate chain (4 aggregate phases + an extra partkey
+# exchange — see plans/r13/tpch_q11_like_before.txt); the new scalar
+# side is a plain per-key agg + a single-row fold. (Measured: AQE's stage cache does NOT reuse the partkey
 # exchange across the subquery boundary, so both sides still scan the
 # 3-column pruned lineitem — the win is the removed Expand + second
 # distinct-shuffle, 1.59 → 1.07 s min-of-5 at sf0.1. The

@@ -245,6 +245,14 @@ def test_pagerank_leaves_no_session_cache_residue(spark):
 
     spark.catalog.clearCache()
     df = QUERIES["pagerank_integer"](spark, SF_SMALL)
+    # cacheManager().isEmpty() is a classic-mode JVM accessor (ADVICE
+    # r13): under Spark Connect there is no _jsparkSession — skip
+    # rather than fail; the public catalog surface has no "no cached
+    # plans at all" probe (isCached needs a name per entry).
+    if not hasattr(spark, "_jsparkSession"):
+        import pytest
+
+        pytest.skip("cacheManager probe is classic-mode-only")
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert cm.isEmpty(), (
         "pagerank_integer left persisted entries in the session cache"
