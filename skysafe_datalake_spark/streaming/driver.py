@@ -191,6 +191,41 @@ def stateful_shuffle_partitions(
 
 
 @contextlib.contextmanager
+def no_trailing_nodata_batch(spark: SparkSession):
+    """Scope ``spark.sql.streaming.noDataMicroBatches.enabled=false``
+    to one bounded availableNow replay, restoring the session value on
+    exit.
+
+    A terminating replay runs one trailing NO-DATA micro-batch after
+    the data batches — a full commit cycle (planning, state-store
+    open/commit, offset log) that processes zero rows. For a stream
+    whose OUTPUT is complete once the data batches have run, that
+    cycle is pure overhead at any scale (it is a fixed per-query cost,
+    not a per-row one). Measured at sf0.1 (interleaved A/B, min-of-4,
+    results md5-identical): streaming_interval_join 4.01 → 2.35 s,
+    streaming_dedup_watermark 1.84 → 1.39 s;
+    streaming_stateful_running_agg −0.4 s in a same-session
+    decomposition.
+
+    ELIGIBILITY IS SEMANTIC, decide per query: an inner interval join
+    emits every match inside the data batch; dedup-within-watermark
+    emits first-seen rows immediately; a per-batch stateful emitter
+    (NoTimeout) emits as keys appear. The trailing batch only expires
+    state those replays no longer need. A streaming OUTER join is the
+    opposite — its null-padded rows are produced BY the
+    watermark-advance flush in the trailing batch — so
+    streaming_left/full_outer_join must NEVER run under this scope
+    (pinned by tests/test_streaming_contracts.py)."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
+@contextlib.contextmanager
 def sized_stateful_shuffle(
     spark: SparkSession,
     n_rows: int,

@@ -723,14 +723,21 @@ def streaming_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFram
     # and the conf only needs to be set before the STREAM starts.
     from pyspark.sql import Observation
 
-    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
+    from skysafe_datalake_spark.streaming.driver import (
+        no_trailing_nodata_batch,
+        sized_stateful_shuffle,
+    )
 
     try:
         obs = Observation()
         e.observe(obs, F.count(F.lit(1)).alias("n")).repartition(4).write.parquet(
             f"{tmp}/in"
         )
-        with sized_stateful_shuffle(spark, obs.get["n"]):
+        # Per-batch emitter with NoTimeout: output is complete once the
+        # data batches ran; the trailing no-data commit cycle is pure
+        # overhead (streaming.driver.no_trailing_nodata_batch).
+        with sized_stateful_shuffle(spark, obs.get["n"]), \
+                no_trailing_nodata_batch(spark):
             stream = (
                 spark.readStream.schema(e.schema)
                 .option("maxFilesPerTrigger", 1)
@@ -916,13 +923,22 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle to the STREAMED volume (clicks + purchases, observed on
     # the one staging write at zero extra scans):
     # streaming.driver.stateful_shuffle_partitions.
-    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
+    from skysafe_datalake_spark.streaming.driver import (
+        no_trailing_nodata_batch,
+        sized_stateful_shuffle,
+    )
 
     try:
         n, click_dir, purchase_dir = _stage_click_purchase_replay(
             e, tmp, sentinel=False
         )
-        with sized_stateful_shuffle(spark, n):
+        # INNER join: every match emits inside the data batch; the
+        # trailing no-data cycle only evicts state this terminating
+        # replay no longer needs (measured 4.01 -> 2.35 s min-of-4,
+        # md5-identical). The OUTER joins below must keep it - their
+        # null rows flush IN that batch.
+        with sized_stateful_shuffle(spark, n), \
+                no_trailing_nodata_batch(spark):
             clicks = _replay_side_stream(spark, click_dir, "c", "click_id")
             purchases = _replay_side_stream(
                 spark, purchase_dir, "p", "purchase_id"
@@ -1448,14 +1464,21 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming.driver.stateful_shuffle_partitions.
     from pyspark.sql import Observation
 
-    from skysafe_datalake_spark.streaming.driver import sized_stateful_shuffle
+    from skysafe_datalake_spark.streaming.driver import (
+        no_trailing_nodata_batch,
+        sized_stateful_shuffle,
+    )
 
     try:
         obs = Observation()
         dup.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(
             4
         ).write.parquet(f"{tmp}/in")
-        with sized_stateful_shuffle(spark, obs.get["n"], lo=4):
+        # dropDuplicatesWithinWatermark emits first-seen rows in their
+        # data batch; the trailing no-data cycle only expires state
+        # (measured 1.84 -> 1.39 s min-of-4, md5-identical).
+        with sized_stateful_shuffle(spark, obs.get["n"], lo=4), \
+                no_trailing_nodata_batch(spark):
             stream = spark.readStream.schema(
                 "event_id bigint, ts timestamp, user_id bigint, "
                 "event_type string"

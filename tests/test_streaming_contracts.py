@@ -370,3 +370,56 @@ def test_gate_fails_synthetic_unbounded_query():
         "    return df.writeStream.queryName('x').start()\n"
     )
     assert _writestream_sinks(laundered) == ["unknown"]
+
+
+def test_nodata_batch_suppression_scope():
+    """The r14 no_trailing_nodata_batch scope is SEMANTIC, not a blanket
+    conf: eligible replays (inner interval join, dedup-within-watermark,
+    per-batch stateful emitter) emit their full output inside the data
+    batches, so the trailing no-data commit cycle is pure overhead —
+    but a streaming OUTER join produces its null-padded rows IN that
+    trailing batch, so wrapping one would silently drop rows. Pin which
+    builders use the helper so a refactor can't migrate it by
+    accident."""
+    import inspect
+
+    from skysafe_datalake_spark.workload import pipeline as wp
+
+    uses = {
+        name: "no_trailing_nodata_batch(" in inspect.getsource(fn)
+        for name, fn in (
+            ("streaming_stateful_running_agg", wp.streaming_stateful_running_agg),
+            ("streaming_interval_join", wp.streaming_interval_join),
+            ("streaming_dedup_watermark", wp.streaming_dedup_watermark),
+            ("streaming_left_outer_join", wp.streaming_left_outer_join),
+            ("streaming_full_outer_join", wp.streaming_full_outer_join),
+        )
+    }
+    assert uses == {
+        "streaming_stateful_running_agg": True,
+        "streaming_interval_join": True,
+        "streaming_dedup_watermark": True,
+        "streaming_left_outer_join": False,
+        "streaming_full_outer_join": False,
+    }, uses
+
+
+def test_nodata_batch_scope_restores_conf(spark):
+    """The scope must restore the session value on success AND on
+    raise — a leaked 'false' would silently break the next outer-join
+    replay run on the shared session."""
+    import pytest
+
+    from skysafe_datalake_spark.streaming.driver import (
+        no_trailing_nodata_batch,
+    )
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(key, "true")
+    with no_trailing_nodata_batch(spark):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == "true"
+    with pytest.raises(RuntimeError):
+        with no_trailing_nodata_batch(spark):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == "true"
